@@ -1,0 +1,55 @@
+"""Deterministic, scale-safe docid minting.
+
+The reference mints ids from enumeration order (`vector_id + offset`,
+/root/reference/src/IVF.py:73-77) — order-dependent and irreproducible
+under repartitioning. We mint from *sorted-url-within-hash-bucket*
+order instead, in two passes:
+
+  1. bucket  = pmod(xxhash64(url), P)            (map-side, no shuffle)
+     counts  = groupBy(bucket).count()           (P rows → driver)
+     offsets = exclusive prefix-sum over bucket id   (the reference's
+               cumsum/roll CSR directory, /root/reference/src/IVF.py:79-81)
+  2. docid   = offset[bucket] + (row_number() over
+               Window.partitionBy(bucket).orderBy(url) - 1)
+
+Properties at 10^12 docs: one shuffle (by bucket), per-partition sort
+only (no global sort), driver state = P longs, deterministic for any
+input partitioning, and **docid ranges are contiguous per bucket** —
+which later lets segment merge concatenate posting runs instead of
+re-sorting them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_docid_bucket"
+
+
+def mint_docids(df: DataFrame, url_col: str = "url", num_buckets: int | None = None) -> DataFrame:
+    """Return ``df`` + ``docid`` (long) + ``_docid_bucket`` (int).
+
+    ``url`` must be unique (enforced upstream by dedup-by-url; asserted
+    in tests). Output is hash-partitioned by bucket and sorted by url
+    within each bucket — the canonical corpus layout every downstream
+    build step reuses (no extra shuffle).
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dfb = df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_buckets)).cast("int"))
+    counts = {r[BUCKET_COL]: r["n"] for r in dfb.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    offset_df = spark.createDataFrame(
+        [(b, offsets[b]) for b in range(num_buckets)], schema=f"{BUCKET_COL} int, _offset long"
+    )
+    w = Window.partitionBy(BUCKET_COL).orderBy(url_col)
+    return (
+        dfb.join(F.broadcast(offset_df), BUCKET_COL)
+        .withColumn("docid", (F.col("_offset") + F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("_offset")
+    )

@@ -1,0 +1,70 @@
+"""Top-k retrieval — exhaustive (v1) path.
+
+Query semantics (pinned):
+  * query terms are lowercased/tokenized with the pinned tokenizer,
+    then de-duplicated (bag-of-words, each distinct term counts once)
+  * disjunctive (OR) matching, BM25 sum over matched terms
+  * ties: (score desc, docid asc) — SURVEY §2.6 T5
+  * out-of-vocabulary queries return 0 rows (missing-term guard,
+    /root/reference/src/LSH.py:143-144)
+
+Single-query plan: broadcast the (few) query terms against the posting
+relation (J2 analog, /root/reference/src/LSH.py:136-152) → Σ impact per
+docid → TakeOrderedAndProject(k). Spark lowers orderBy().limit(k) to a
+distributed per-partition top-k + driver merge — exactly the
+reference's heapq.nlargest two-level shape (/root/reference/src/IVF.py:190-191).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize
+
+
+def query_terms_df(spark, queries: list[dict]) -> DataFrame:
+    """queries [{qid, query, k}] → exploded (qid, k, term), deduped."""
+    rows = []
+    for q in queries:
+        for t in sorted(set(tokenize(q["query"]))):
+            rows.append((int(q["qid"]), int(q["k"]), t))
+    schema = "qid int, k int, term string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def search(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Single query → (docid, score) top-k, exhaustive scoring."""
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        return scored.sparkSession.createDataFrame([], "docid long, score double")
+    return (
+        scored.filter(F.col("term").isin(terms))
+        .groupBy("docid")
+        .agg(F.sum("impact").alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
+def search_batch(scored: DataFrame, queries_df: DataFrame) -> DataFrame:
+    """Batched serving: (qid, k, term) ⋈ postings → per-qid top-k.
+
+    The query side is tiny → broadcast; the per-qid top-k is a window
+    row_number (shuffle keyed by qid is bounded by candidate count, and
+    matched candidates per query ≪ corpus).
+    Returns (qid, rank, docid, score).
+    """
+    cand = (
+        scored.join(F.broadcast(queries_df), "term")
+        .groupBy("qid", "k", "docid")
+        .agg(F.sum("impact").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "docid", "score")
+    )
