@@ -1,0 +1,267 @@
+"""SPIMI index build: per-shard posting segments → finalize (LSM merge).
+
+Spark restatement of the reference's chunked build
+(/root/reference/src/IVF.py:130-143) without its defects (whole index
+in driver RAM /root/reference/src/IVF.py:85-86; silent tail drop
+/root/reference/src/IVF.py:152-153):
+
+  corpus → mint_docids (ONE shuffle, hash(url) → shard; contiguous
+           docid range per shard)
+         → tokenize + dl as JVM columns (codegen)
+         → groupBy(shard).applyInPandas(SPIMI)   (re-uses the docid
+           shuffle's partitioning — Catalyst sees the same key)
+         → per-shard segment blocks (delta-gap varint)
+         → manifest row per shard (lineage + row/byte metrics)
+  finalize: global df/idf from block headers (NO decode), block_max
+           attach (single decode pass), dictionary + stats + postings.
+
+Scale properties:
+  * the build shuffle carries docs once; token explosion and tf
+    aggregation happen inside Arrow batches (map-side, SPIMI-style),
+    so no (term, docid) shuffle of 10^12-doc token streams — the
+    term-keyed shuffle only moves compact encoded blocks at finalize.
+  * head-term skew is bounded by construction: a term's postings
+    within a shard ≤ shard size; shards are hash(url)-balanced. The
+    per-(term, shard) runs ARE the salted sub-keys of the north_rule
+    (salt = doc-shard), and global posting lists are ordered
+    concatenations of runs because shard docid ranges are contiguous
+    and disjoint (see operators/docids.py).
+  * resume: manifest-recorded shards are skipped (left-anti by shard
+    id); segment moves happen before the manifest commit point.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import idf_col, impact_np
+from ..sources import index_store
+from ..sources.index_store import POSTING_SCHEMA, SEGMENT_SCHEMA
+from .codec import decode_block, encode_posting_list
+from .docids import BUCKET_COL, mint_docids
+from .postings import tokenized
+
+
+def _spimi_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """One shard's docs → encoded posting blocks (runs inside Arrow)."""
+    shard = int(key[0])
+    pdf = pdf.sort_values("docid")
+    lens = pdf["tokens"].str.len().to_numpy().astype(np.int64)
+    docids = np.repeat(pdf["docid"].to_numpy(), lens)
+    dls = np.repeat(pdf["dl"].to_numpy(), lens)
+    terms = (
+        np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
+        if len(pdf)
+        else np.empty(0, dtype=object)
+    )
+    tfrel = (
+        pd.DataFrame({"term": terms, "docid": docids, "dl": dls})
+        .groupby(["term", "docid"], sort=True)
+        .agg(tf=("dl", "size"), dl=("dl", "first"))
+        .reset_index()
+    )
+    rows = []
+    for term, g in tfrel.groupby("term", sort=True):
+        d = g["docid"].to_numpy()
+        t = g["tf"].to_numpy()
+        l = g["dl"].to_numpy()
+        for b in encode_posting_list(d, t, l):
+            s = b["block_seq"] * 128
+            rows.append(
+                (
+                    shard, term, b["block_seq"], b["first_docid"], b["last_docid"],
+                    b["n"], int(t[s : s + 128].sum()), b["docids_bin"], b["tfs_bin"], b["dls_bin"],
+                )
+            )
+    cols = [
+        "shard", "term", "block_seq", "first_docid", "last_docid",
+        "n", "block_cf", "docids_bin", "tfs_bin", "dls_bin",
+    ]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def build_segments(
+    docs: DataFrame,
+    index_dir: str,
+    num_shards: int | None = None,
+    batch_shards: int | None = None,
+    text_col: str = "text",
+    url_col: str = "url",
+    max_batches: int | None = None,
+) -> int:
+    """Build (or resume) per-shard segments + docmap + manifest.
+
+    ``max_batches`` exists for the kill/resume test — a bounded run is
+    indistinguishable from a killed one. Returns #shards built this run.
+    """
+    spark = docs.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if batch_shards is None:
+        batch_shards = num_shards  # single batch by default
+    os.makedirs(index_dir, exist_ok=True)
+
+    done = index_store.finished_shards(spark, index_dir)
+    pending = [s for s in range(num_shards) if s not in done]
+    if not pending:
+        return 0
+
+    minted = mint_docids(docs, url_col=url_col, num_buckets=num_shards).withColumnRenamed(
+        BUCKET_COL, "shard"
+    )
+    prepared = tokenized(minted, text_col).select("shard", "docid", url_col, "tokens", "dl")
+
+    built = 0
+    batches = [pending[i : i + batch_shards] for i in range(0, len(pending), batch_shards)]
+    if max_batches is not None:
+        batches = batches[:max_batches]
+    for batch in batches:
+        part = prepared.filter(F.col("shard").isin(batch)).cache()
+        seg = part.groupBy("shard").applyInPandas(_spimi_segment, SEGMENT_SCHEMA)
+        batch_id = index_store.write_segment_batch(seg, index_dir, batch)
+        # docmap for this batch (stage+move like segments)
+        _write_docmap_batch(part.select("docid", F.col(url_col).alias("url"), "dl", "shard"), index_dir, batch)
+        # manifest metrics: doc-side from the cached batch, block-side from written files
+        docside = {
+            r["shard"]: r
+            for r in part.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+                F.min("docid").alias("first_docid"),
+                F.max("docid").alias("last_docid"),
+            )
+            .collect()
+        }
+        seg_written = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+            F.col("shard").isin(batch)
+        )
+        blockside = {
+            r["shard"]: r
+            for r in seg_written.groupBy("shard")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.count("*").alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                F.sum(
+                    F.length("docids_bin") + F.length("tfs_bin") + F.length("dls_bin")
+                ).alias("payload_bytes"),
+            )
+            .collect()
+        }
+        rows = []
+        for s in batch:
+            d, b = docside.get(s), blockside.get(s)
+            rows.append(
+                {
+                    "shard": s,
+                    "n_docs": int(d["n_docs"]) if d else 0,
+                    "sum_dl": int(d["sum_dl"]) if d else 0,
+                    "n_terms": int(b["n_terms"]) if b else 0,
+                    "n_blocks": int(b["n_blocks"]) if b else 0,
+                    "n_postings": int(b["n_postings"]) if b else 0,
+                    "payload_bytes": int(b["payload_bytes"]) if b else 0,
+                    "first_docid": int(d["first_docid"]) if d else -1,
+                    "last_docid": int(d["last_docid"]) if d else -1,
+                    "batch_id": batch_id,
+                }
+            )
+        index_store.append_manifest(spark, index_dir, rows)
+        part.unpersist()
+        built += len(batch)
+    return built
+
+
+def _write_docmap_batch(df: DataFrame, index_dir: str, shards: list[int]) -> None:
+    import shutil
+    import uuid
+
+    stage = os.path.join(index_dir, f"_stage_docmap_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").partitionBy("shard").parquet(stage)
+    root = os.path.join(index_dir, "docmap")
+    os.makedirs(root, exist_ok=True)
+    for s in shards:
+        src, dst = os.path.join(stage, f"shard={s}"), os.path.join(root, f"shard={s}")
+        if not os.path.isdir(src):
+            continue
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def finalize_index(spark: SparkSession, index_dir: str) -> dict:
+    """LSM-merge finalize: global stats + dictionary from block headers
+    (no payload decode), then a single decode pass to attach block_max,
+    writing postings sorted by (term, block_seq) within each shard so
+    parquet min/max stats prune term lookups."""
+    manifest = index_store.read_manifest(spark, index_dir)
+    agg = manifest.agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("tot"), F.countDistinct("shard").alias("shards")
+    ).collect()[0]
+    n_docs, total_tokens, num_shards = int(agg["n"]), int(agg["tot"]), int(agg["shards"])
+    avgdl = total_tokens / n_docs
+
+    segs = index_store.read_segments(spark, index_dir)
+    dictionary = (
+        segs.groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("block_cf").alias("cf"), F.count("*").alias("n_blocks"))
+        .withColumn("idf", idf_col(F.col("df").cast("double"), n_docs))
+    )
+    dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
+    dict_df = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+
+    joined = segs.join(dict_df.select("term", "idf"), "term")
+
+    def attach_block_max(it):
+        for pdf in it:
+            bm = np.empty(len(pdf), dtype=np.float64)
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                _, tfs, dls = decode_block(r.first_docid, r.docids_bin, r.tfs_bin, r.dls_bin)
+                bm[i] = impact_np(tfs, dls, r.idf, avgdl).max()
+            out = pdf.drop(columns=["idf"]).copy()
+            out["block_max"] = bm
+            yield out[
+                [
+                    "shard", "term", "block_seq", "first_docid", "last_docid",
+                    "n", "block_cf", "docids_bin", "tfs_bin", "dls_bin", "block_max",
+                ]
+            ]
+
+    (
+        joined.mapInPandas(attach_block_max, POSTING_SCHEMA)
+        .repartition("shard")
+        .sortWithinPartitions("term", "block_seq")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": float(avgdl),
+        "total_tokens": total_tokens,
+        "num_shards": num_shards,
+    }
+    spark.createDataFrame(
+        [(n_docs, float(avgdl), total_tokens, num_shards)],
+        "n_docs long, avgdl double, total_tokens long, num_shards int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    return stats
+
+
+def build_index(
+    docs: DataFrame,
+    index_dir: str,
+    num_shards: int | None = None,
+    batch_shards: int | None = None,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> dict:
+    """Full pipeline: segments (resumable) + finalize. Returns stats."""
+    build_segments(docs, index_dir, num_shards, batch_shards, text_col, url_col)
+    return finalize_index(docs.sparkSession, index_dir)

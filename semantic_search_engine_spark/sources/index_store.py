@@ -1,0 +1,117 @@
+"""On-disk index layout + manifest bookkeeping.
+
+Layout (parquet today; Iceberg tables are a drop-in behind the same
+paths once the runtime has the Iceberg catalog jars — see
+``sources/corpus.py``):
+
+  {index_dir}/
+    segments/shard=N/         per-shard posting blocks (no block_max yet)
+    postings/shard=N/         finalized blocks (+ block_max)
+    dictionary/               (term, df, cf, idf, n_blocks)
+    stats/                    single row (n_docs, avgdl, total_tokens, num_shards)
+    docmap/                   (docid, url, dl, shard)
+    manifest/seg_*.parquet    one file per finished build batch —
+                              append-only checkpoint log
+
+The manifest is the resume contract (north_rule): a batch's segment
+files are moved into place *before* its manifest file is written, so a
+kill at any point leaves either (a) no trace, (b) unrecorded segment
+dirs (rebuilt + overwritten on resume), or (c) a fully recorded batch
+(skipped on resume). CSR-directory analog: the reference's
+(count, prev_count) centroid records (/root/reference/src/IVF.py:112-122)
+become the dictionary + per-block (first_docid, last_docid, n) rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+SEGMENT_SCHEMA = (
+    "shard int, term string, block_seq int, first_docid long, last_docid long, "
+    "n int, block_cf long, docids_bin binary, tfs_bin binary, dls_bin binary"
+)
+POSTING_SCHEMA = SEGMENT_SCHEMA + ", block_max double"
+MANIFEST_SCHEMA = (
+    "shard int, n_docs long, sum_dl long, n_terms long, n_blocks long, "
+    "n_postings long, payload_bytes long, first_docid long, last_docid long, "
+    "batch_id string"
+)
+
+
+def _p(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, name)
+
+
+def manifest_dir(index_dir: str) -> str:
+    return _p(index_dir, "manifest")
+
+
+def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    d = manifest_dir(index_dir)
+    if not os.path.isdir(d) or not any(f.endswith(".parquet") for f in os.listdir(d)):
+        return None
+    return spark.read.schema(MANIFEST_SCHEMA).parquet(d)
+
+
+def finished_shards(spark: SparkSession, index_dir: str) -> set[int]:
+    m = read_manifest(spark, index_dir)
+    if m is None:
+        return set()
+    return {r["shard"] for r in m.select("shard").collect()}
+
+
+def write_segment_batch(batch_df: DataFrame, index_dir: str, shards: list[int]) -> str:
+    """Write one batch of shard segments atomically-enough for resume:
+    stage → per-shard dir move → manifest file write (the commit point).
+    Returns the batch id."""
+    batch_id = uuid.uuid4().hex[:12]
+    stage = _p(index_dir, f"_stage_{batch_id}")
+    batch_df.write.mode("overwrite").partitionBy("shard").parquet(stage)
+    seg_root = _p(index_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    for shard in shards:
+        src = os.path.join(stage, f"shard={shard}")
+        dst = os.path.join(seg_root, f"shard={shard}")
+        if not os.path.isdir(src):
+            continue  # shard had zero docs
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # unrecorded leftover from a crashed batch
+        os.rename(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    return batch_id
+
+
+def append_manifest(spark: SparkSession, index_dir: str, rows: list[dict]) -> None:
+    """The commit point: one new parquet file under manifest/."""
+    d = manifest_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame([tuple(r[k] for k in [
+        "shard", "n_docs", "sum_dl", "n_terms", "n_blocks", "n_postings",
+        "payload_bytes", "first_docid", "last_docid", "batch_id",
+    ]) for r in rows], schema=MANIFEST_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(d)
+
+
+def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_p(index_dir, "segments"))
+
+
+def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_p(index_dir, "postings"))
+
+
+def read_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_p(index_dir, "dictionary"))
+
+
+def read_stats(spark: SparkSession, index_dir: str) -> dict:
+    row = spark.read.parquet(_p(index_dir, "stats")).collect()[0]
+    return row.asDict()
+
+
+def read_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_p(index_dir, "docmap"))

@@ -1,0 +1,113 @@
+"""On-disk index: SPIMI build + finalize; exhaustive and block-max-WAND
+paths must be rank-identical with the oracle and each other; a killed
+build resumes without recomputing finished shards."""
+
+import os
+
+import pytest
+
+from semantic_search_engine_spark.fixtures.webtext import generate_queries, generate_webtext
+from semantic_search_engine_spark.operators.build import build_index, build_segments, finalize_index
+from semantic_search_engine_spark.operators.query import (
+    IndexReader,
+    search_index_exhaustive,
+    search_index_wand,
+)
+from semantic_search_engine_spark.sources import index_store
+from tests.duck_oracle import bm25_oracle_topk
+
+N_DOCS = 1000
+N_SHARDS = 6
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    docs = generate_webtext(spark, N_DOCS).cache()
+    stats = build_index(docs, d, num_shards=N_SHARDS)
+    docs_pdf = (
+        index_store.read_docmap(spark, d).select("docid", "url").join(
+            docs.select("url", "text"), "url"
+        ).select("docid", "text").toPandas()
+    )
+    docs.unpersist()
+    return d, stats, docs_pdf
+
+
+def test_stats(index):
+    _, stats, docs_pdf = index
+    assert stats["n_docs"] == N_DOCS
+    assert stats["num_shards"] == N_SHARDS
+    want_tokens = docs_pdf["text"].str.count(r"[a-z0-9]+").sum()
+    assert stats["total_tokens"] == want_tokens
+
+
+def test_manifest_metrics(spark, index):
+    d, _, _ = index
+    m = index_store.read_manifest(spark, d).toPandas()
+    assert len(m) == N_SHARDS
+    assert m["n_docs"].sum() == N_DOCS
+    assert (m["payload_bytes"] > 0).sum() == N_SHARDS
+    assert (m["n_postings"] >= m["n_terms"]).all()
+
+
+def test_exhaustive_matches_oracle(spark, index):
+    d, _, docs_pdf = index
+    queries = generate_queries()[:15]
+    reader = IndexReader(spark, d)
+    got = search_index_exhaustive(reader, queries).orderBy("qid", "rank").toPandas()
+    want = bm25_oracle_topk(docs_pdf, queries)
+    assert (got["docid"].values == want["docid"].values).all()
+    assert (abs(got["score"].values - want["score"].values) < 1e-9).all()
+
+
+def test_wand_matches_exhaustive_and_oracle(spark, index):
+    d, _, docs_pdf = index
+    queries = generate_queries()  # all 51 incl. OOV
+    reader = IndexReader(spark, d)
+    ex = search_index_exhaustive(reader, queries).orderBy("qid", "rank").toPandas()
+    wd = search_index_wand(reader, queries).orderBy("qid", "rank").toPandas()
+    assert (ex["qid"].values == wd["qid"].values).all()
+    assert (ex["docid"].values == wd["docid"].values).all(), "WAND diverges from exhaustive"
+    assert (abs(ex["score"].values - wd["score"].values) < 1e-9).all()
+    want = bm25_oracle_topk(docs_pdf, queries)
+    assert (wd["docid"].values == want["docid"].values).all()
+    assert (abs(wd["score"].values - want["score"].values) < 1e-9).all()
+
+
+def test_oov_query_empty(spark, index):
+    d, _, _ = index
+    reader = IndexReader(spark, d)
+    got = search_index_wand(reader, [{"qid": 0, "query": "zzzoutofvocab", "k": 5}])
+    assert got.count() == 0
+
+
+def test_kill_resume_identical(spark, tmp_path_factory, index):
+    """Bounded run (= kill) → resume → byte-identical results + no
+    recompute of finished shards."""
+    d_full, _, docs_pdf = index
+    d = str(tmp_path_factory.mktemp("index_resume"))
+    docs = generate_webtext(spark, N_DOCS)
+    built1 = build_segments(docs, d, num_shards=N_SHARDS, batch_shards=2, max_batches=1)
+    assert built1 == 2
+    assert index_store.finished_shards(spark, d) == {0, 1}
+    before = index_store.read_manifest(spark, d).toPandas().set_index("shard")["batch_id"]
+    built2 = build_segments(docs, d, num_shards=N_SHARDS, batch_shards=2)
+    assert built2 == N_SHARDS - 2
+    after = index_store.read_manifest(spark, d).toPandas().set_index("shard")["batch_id"]
+    # finished shards were not recomputed: same batch ids survive
+    assert (after.loc[[0, 1]] == before.loc[[0, 1]]).all()
+    finalize_index(spark, d)
+    queries = generate_queries()[:10]
+    r_full = IndexReader(spark, d_full)
+    r_res = IndexReader(spark, d)
+    a = search_index_wand(r_full, queries).orderBy("qid", "rank").toPandas()
+    b = search_index_wand(r_res, queries).orderBy("qid", "rank").toPandas()
+    assert (a["docid"].values == b["docid"].values).all()
+    assert (a["score"].values == b["score"].values).all()
+
+
+def test_noop_resume(spark, index):
+    d, _, _ = index
+    docs = generate_webtext(spark, N_DOCS)
+    assert build_segments(docs, d, num_shards=N_SHARDS) == 0
