@@ -1,38 +1,478 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship BM25 top-k on sf0.001.
+`queries()` / `oracle_sql()` — one entry per implemented operator
+(SURVEY.md §2 + training-data-pipeline operators), DuckDB-checked at
+sf0.01. Every computed column is aliased identically on both sides;
+floats that pass through aggregation are rounded to a pinned scale.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from semantic_search_engine_spark.functions.tokenizer import tokens_col
+from semantic_search_engine_spark.operators import dedup, similarity, textstats
+from semantic_search_engine_spark.operators.postings import (
+    corpus_stats,
+    doc_freq,
+    scored_postings,
+    term_frequencies,
+)
+from semantic_search_engine_spark.operators.topk import search
+
+# ----------------------------------------------------------------- shared
+BM25_QUERY = "data merge spark window"
+BM25_TERMS = ["data", "merge", "spark", "window"]
+BM25_K = 10
+
+TOK_SQL = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents")
+
+
+def _rank_window():
+    return Window.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# ----------------------------------------------------------------- BM25
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+    stats = corpus_stats(docs)
+    postings = term_frequencies(docs)
+    scored = scored_postings(postings, doc_freq(postings), stats)
+    res = search(scored, BM25_QUERY, BM25_K).withColumnRenamed("docid", "doc_id")
+    return res.select(
+        "doc_id",
+        F.row_number().over(_rank_window()).alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_oracle(k: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
+_WAND_CACHE: dict[str, str] = {}
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as q_bm25_topk but served from the on-disk index via
+    the block-max pruned path — proves codec+build+WAND against DuckDB."""
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    key = os.path.abspath(sf_dir)
+    if key not in _WAND_CACHE:
+        d = tempfile.mkdtemp(prefix="ssse_idx_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        build_index(docs, d, num_shards=8)
+        _WAND_CACHE[key] = d
+    d = _WAND_CACHE[key]
+    reader = IndexReader(spark, d)
+    res = search_index_wand(reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K}])
+    docmap = read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
+    return (
+        res.join(docmap, "docid")
+        .select("doc_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("term"))
+    return (
+        toks.groupBy("term").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term")).limit(30)
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dl = docs.select(F.size(tokens_col(F.col("text"))).cast("long").alias("dl"))
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_band_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------------------------- embeddings
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
+
+
+def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF machinery with n_probe == n_clusters — must equal brute force."""
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = similarity.IVFIndex.build(emb, n_clusters=8, sample_cap=2000)
+    return idx.search(_query_vec(spark, sf_dir), k=11, n_probe=8).filter(F.col("vec_id") != 0)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.45)
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    u = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    c = u.groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("av"))
+    norm = c.groupBy("label").agg(F.round(F.sqrt(F.sum(F.col("av") * F.col("av"))), 6).alias("centroid_norm"))
+    cnt = emb.groupBy("label").agg(F.count("*").alias("n"))
+    return cnt.join(norm, "label").select("label", "n", "centroid_norm")
+
+
+# ----------------------------------------------------------------- TPC-H-ish
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"))
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned UTC so the
+    # cast is lossless and unix_micros matches DuckDB's date_diff(us).
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_micros = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gap = micros - prev_micros
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_distinct_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("lang", "source").distinct()
+
+
+# ----------------------------------------------------------------- registry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": q_bm25_topk,
+        "bm25_wand_topk": q_bm25_wand_topk,
+        "term_doc_freq": q_term_doc_freq,
+        "corpus_stats": q_corpus_stats,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_bands": q_dedup_minhash_bands,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash16": q_simhash16,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_label_centroids": q_embedding_label_centroids,
+        "tpch_q1": q_tpch_q1,
+        "top_customers_revenue": q_top_customers_revenue,
+        "customer_order_ranks": q_customer_order_ranks,
+        "orders_topk": q_orders_topk,
+        "events_daily": q_events_daily,
+        "events_sessionize": q_events_sessionize,
+        "distinct_lang_source": q_distinct_lang_source,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _shingle_cte() -> str:
+    tok = TOK_SQL.format(col="text")
+    return f"""
+toks AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks))
+"""
+
+
+def _minhash_cte(num_hashes: int = 8) -> str:
+    mins = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS mh_{j}" for j in range(num_hashes)
+    )
+    return _shingle_cte() + f", sig AS (SELECT doc_id, {mins} FROM sh GROUP BY 1)"
+
+
+def _simhash_sql() -> str:
+    tok = TOK_SQL.format(col="text")
+    s_terms = ", ".join(
+        f"sum(tf * (((h // {1 << b}) % 2) * 2 - 1)) AS s_{b}" for b in range(16)
+    )
+    sim = " + ".join(f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) AS h FROM tf),
+s AS (SELECT doc_id, {s_terms} FROM h GROUP BY 1)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = TOK_SQL.format(col="text")
+    lang_hits = {
+        lang: f"len(list_filter({tok}, t -> list_contains([{', '.join(repr(m) for m in ms)}], t)))"
+        for lang, ms in textstats.LANG_MARKERS.items()
+    }
+    return {
+        "bm25_topk": _bm25_oracle(BM25_K),
+        "bm25_wand_topk": _bm25_oracle(BM25_K),
+        "term_doc_freq": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1 ORDER BY df DESC, term LIMIT 30
+""",
+        "corpus_stats": f"""
+WITH dl AS (SELECT len({tok})::BIGINT AS dl FROM documents)
+SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens, round(avg(dl), 6) AS avgdl FROM dl
+""",
+        "token_counts": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        "quality_scores": f"""
+SELECT doc_id,
+       len({tok})::BIGINT AS n_tokens,
+       round(0.4 * least(len({tok}) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN len({tok}) > 0
+                      THEN len(list_distinct({tok}))::DOUBLE / len({tok}) ELSE 0.0 END)
+             + 0.3 * (CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+                      ELSE 0.0 END), 6) AS quality
+FROM documents
+""",
+        "lang_id": f"""
+SELECT doc_id,
+       CASE WHEN {lang_hits['de']} >= greatest({lang_hits['en']}, {lang_hits['es']}, 1) THEN 'de'
+            WHEN {lang_hits['en']} >= greatest({lang_hits['es']}, 1) THEN 'en'
+            WHEN {lang_hits['es']} >= 1 THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM documents
+""",
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents"
+        ),
+        "dedup_exact": """
+SELECT md5(text) AS fingerprint, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8
+""",
+        "dedup_minhash_bands": f"""
+WITH {_minhash_cte()},
+bands AS (
+  SELECT doc_id, 0 AS band, mh_0 || mh_1 AS key FROM sig UNION ALL
+  SELECT doc_id, 1, mh_2 || mh_3 FROM sig UNION ALL
+  SELECT doc_id, 2, mh_4 || mh_5 FROM sig UNION ALL
+  SELECT doc_id, 3, mh_6 || mh_7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+        "minhash_signatures": f"WITH {_minhash_cte()} SELECT * FROM sig",
+        "simhash16": _simhash_sql(),
+        "ann_cosine_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
+""",
+        "ann_ivf_fullprobe": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
+""",
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+        "embedding_label_centroids": """
+WITH u AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+c AS (SELECT label, i, avg(v) AS av FROM u GROUP BY 1, 2),
+norm AS (SELECT label, round(sqrt(sum(av * av)), 6) AS centroid_norm FROM c GROUP BY 1),
+cnt AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1)
+SELECT cnt.label, n, centroid_norm FROM cnt JOIN norm ON cnt.label = norm.label
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+        "top_customers_revenue": """
+WITH rev AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                    count(*)::BIGINT AS n_orders
+             FROM orders GROUP BY 1)
+SELECT c_custkey, c_name, n_name, revenue, n_orders
+FROM rev JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 10
+""",
+        "customer_order_ranks": """
+WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders WHERE o_custkey <= 20)
+SELECT o_custkey, o_orderkey, o_totalprice, rn::INT AS rn FROM r WHERE rn <= 3
+""",
+        "orders_topk": """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "events_daily": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*)::BIGINT AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH x AS (SELECT user_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM x GROUP BY 1
+""",
+        "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+    }

@@ -1,0 +1,95 @@
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Headline queries:
+  * build_index_webtext — SPIMI build + finalize over a deterministic
+    20k-page webtext corpus (input_hint shape) → also reported as
+    build_docs_per_sec
+  * wand_batch — the 51-query reference set served via block-max WAND
+    from the on-disk index → also reported as query_p50_sec
+  * bm25_exhaustive — BM25 top-10 over the driver documents table
+  * dedup_minhash — MinHash-LSH candidate pairs over documents
+  * ann_cosine — brute-force cosine top-10 over embeddings
+  * tpch_q1 — pricing-summary aggregation over lineitem
+
+Scaling evidence (north_rule): scripts/bench_scaling.py runs this file
+at SPARK_GRAFT_CPUS=8 and =32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 20000))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from semantic_search_engine_spark.fixtures.webtext import generate_queries, generate_webtext
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+    from semantic_search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ssse-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    work = tempfile.mkdtemp(prefix="ssse_bench_")
+    try:
+        # materialize the corpus first so build timing excludes generation
+        corpus_path = os.path.join(work, "corpus")
+        generate_webtext(spark, n_bench_docs).write.mode("overwrite").parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+
+        idx_dir = os.path.join(work, "index")
+        timed("build_index_webtext", lambda: build_index(docs, idx_dir, num_shards=cpus))
+
+        reader = IndexReader(spark, idx_dir)
+        queries = generate_queries()
+        res = timed("wand_batch", lambda: search_index_wand(reader, queries).collect())
+        assert len(res) > 0
+
+        timed("bm25_exhaustive", lambda: entrymod.q_bm25_topk(spark, sf_dir).collect())
+        timed("dedup_minhash", lambda: entrymod.q_dedup_minhash_bands(spark, sf_dir).collect())
+        timed("ann_cosine", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
+        timed("tpch_q1", lambda: entrymod.q_tpch_q1(spark, sf_dir).collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "ssse headline suite (index build + WAND batch + pipeline ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "cpus": cpus,
+                "bench_docs": n_bench_docs,
+                "build_docs_per_sec": round(n_bench_docs / timings["build_index_webtext"], 1),
+                "query_p50_sec": round(timings["wand_batch"] / len(queries), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

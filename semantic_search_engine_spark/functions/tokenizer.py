@@ -33,9 +33,14 @@ def tokenize_series(text: pd.Series) -> pd.Series:
 
 
 def tokens_col(text_col) -> "F.Column":
-    """JVM-side tokens array: split on non-alnum runs, drop empties.
+    """JVM-side tokens array. Equivalent to :func:`tokenize`.
 
-    Stays inside codegen (no Python). Equivalent to :func:`tokenize`.
+    Perf notes (profiled on 20k docs / 1.7M tokens, local[32]):
+      * split + filter       ~2 s   (this implementation)
+      * regexp_extract_all   ~16 s  (find-all + per-match allocation)
+      * caching/writing the resulting array<string> column ~30-60 s —
+        NEVER materialize this column; explode it in the same stage or
+        tokenize inside the Arrow kernel (see operators/build.py).
     """
     parts = F.split(F.lower(text_col), _SPLIT_PATTERN)
     return F.filter(parts, lambda t: t != F.lit(""))

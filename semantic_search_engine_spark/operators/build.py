@@ -32,7 +32,11 @@ Scale properties:
 
 from __future__ import annotations
 
+import logging
 import os
+import time
+
+log = logging.getLogger(__name__)
 
 import numpy as np
 import pandas as pd
@@ -44,18 +48,25 @@ from ..sources import index_store
 from ..sources.index_store import POSTING_SCHEMA, SEGMENT_SCHEMA
 from .codec import decode_block, encode_posting_list
 from .docids import BUCKET_COL, mint_docids
-from .postings import tokenized
 
 
 def _spimi_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """One shard's docs → encoded posting blocks (runs inside Arrow)."""
+    """One shard's docs → encoded posting blocks (runs inside Arrow).
+
+    Tokenization happens HERE (vectorized pandas, pinned tokenizer) —
+    shipping text through Arrow and tokenizing in the kernel profiled
+    ~10× faster than materializing an array<string> column JVM-side
+    (columnar array encode + interpreted higher-order filter)."""
+    from ..functions.tokenizer import tokenize_series
+
     shard = int(key[0])
     pdf = pdf.sort_values("docid")
-    lens = pdf["tokens"].str.len().to_numpy().astype(np.int64)
+    tokens = tokenize_series(pdf["text"])
+    lens = tokens.str.len().to_numpy().astype(np.int64)
     docids = np.repeat(pdf["docid"].to_numpy(), lens)
-    dls = np.repeat(pdf["dl"].to_numpy(), lens)
+    dls = np.repeat(lens, lens)  # dl of the owning doc, one per token
     terms = (
-        np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
+        np.concatenate([np.asarray(t, dtype=object) for t in tokens])
         if len(pdf)
         else np.empty(0, dtype=object)
     )
@@ -114,25 +125,34 @@ def build_segments(
     minted = mint_docids(docs, url_col=url_col, num_buckets=num_shards).withColumnRenamed(
         BUCKET_COL, "shard"
     )
-    prepared = tokenized(minted, text_col).select("shard", "docid", url_col, "tokens", "dl")
+    # No token/dl computation JVM-side: dl is derived inside the SPIMI
+    # kernel and per-shard sum_dl falls out of sum(block_cf) for free.
+    prepared = minted.select("shard", "docid", url_col, F.col(text_col).alias("text"))
 
     built = 0
     batches = [pending[i : i + batch_shards] for i in range(0, len(pending), batch_shards)]
     if max_batches is not None:
         batches = batches[:max_batches]
+    timing = os.environ.get("SSSE_TIMING") == "1"
     for batch in batches:
+        t0 = time.perf_counter()
         part = prepared.filter(F.col("shard").isin(batch)).cache()
         seg = part.groupBy("shard").applyInPandas(_spimi_segment, SEGMENT_SCHEMA)
         batch_id = index_store.write_segment_batch(seg, index_dir, batch)
+        if timing:
+            print(f"[build] segments batch={len(batch)} {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
         # docmap for this batch (stage+move like segments)
-        _write_docmap_batch(part.select("docid", F.col(url_col).alias("url"), "dl", "shard"), index_dir, batch)
-        # manifest metrics: doc-side from the cached batch, block-side from written files
+        _write_docmap_batch(
+            part.select("docid", F.col(url_col).alias("url"), "shard"), index_dir, batch
+        )
+        # manifest metrics: doc-side from the cached batch, block-side
+        # from written files (sum_dl == sum(block_cf): Σ_t tf(t,d) = dl)
         docside = {
             r["shard"]: r
             for r in part.groupBy("shard")
             .agg(
                 F.count("*").alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
                 F.min("docid").alias("first_docid"),
                 F.max("docid").alias("last_docid"),
             )
@@ -148,6 +168,7 @@ def build_segments(
                 F.countDistinct("term").alias("n_terms"),
                 F.count("*").alias("n_blocks"),
                 F.sum("n").alias("n_postings"),
+                F.sum("block_cf").alias("sum_dl"),
                 F.sum(
                     F.length("docids_bin") + F.length("tfs_bin") + F.length("dls_bin")
                 ).alias("payload_bytes"),
@@ -161,7 +182,7 @@ def build_segments(
                 {
                     "shard": s,
                     "n_docs": int(d["n_docs"]) if d else 0,
-                    "sum_dl": int(d["sum_dl"]) if d else 0,
+                    "sum_dl": int(b["sum_dl"]) if b else 0,
                     "n_terms": int(b["n_terms"]) if b else 0,
                     "n_blocks": int(b["n_blocks"]) if b else 0,
                     "n_postings": int(b["n_postings"]) if b else 0,
@@ -174,6 +195,8 @@ def build_segments(
         index_store.append_manifest(spark, index_dir, rows)
         part.unpersist()
         built += len(batch)
+        if timing:
+            print(f"[build] docmap+metrics+manifest {time.perf_counter() - t0:.1f}s")
     return built
 
 

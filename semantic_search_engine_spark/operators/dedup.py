@@ -1,0 +1,166 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All shapes are shuffle-conscious:
+  * exact dedup   — hash-groupBy on a 16-byte fingerprint (map-side
+    partial agg; the shuffle carries fingerprints, not text)
+  * n-gram Jaccard — shingle self-join; hot shingles are droppable via
+    ``max_shingle_df`` (a frequent shingle carries no dedup signal and
+    is pure join skew — the same head-key problem the index build
+    salts away)
+  * MinHash + LSH  — signature = per-seed min of md5(seed:shingle)
+    (string min, engine-portable); banding turns O(n²) pair search
+    into an equi-join on (band_id, band_key)
+  * SimHash        — 16-bit variant built from md5 nibbles so the
+    exact same arithmetic runs in ANSI SQL for the oracle
+  * embedding cosine near-dup — exact pair join (small dims) with the
+    LSH-bucketed variant in operators/similarity.py as the scale path
+
+Set-similarity semantics follow the reference's candidate-union shape
+(/root/reference/src/LSH.py:131-152): bucket key → candidate set →
+exact verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_SEEDS = 8
+BAND_SIZE = 2
+
+
+def fingerprint_col(text_col) -> "F.Column":
+    """Pinned exact-dup fingerprint: md5 of the raw text bytes."""
+    return F.md5(text_col.cast("binary"))
+
+
+def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_dups, keep_id) — one row per duplicated text;
+    keep_id = lowest id (the canonical survivor)."""
+    return (
+        docs.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-grams (pinned tokenizer)."""
+    from ..functions.tokenizer import tokens_col
+
+    toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("ts"))
+    # 0-based Spark array subscript; shingle i covers ts[i..i+n-1]
+    expr = f"transform(sequence(0, size(ts) - {n}), i -> concat_ws(' ', slice(ts, i + 1, {n})))"
+    return (
+        toks.filter(F.size("ts") >= n)
+        .select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥ threshold."""
+    sh = shingles(docs, id_col, text_col, n).cache()
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sa"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sb"), "id_b")
+        .withColumn("jaccard", F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = MINHASH_SEEDS, n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{H-1}) — signature j = min over shingles of
+    md5('<j>:' || shingle). String-min of hex digests is a valid
+    min-wise hash family sample and is bit-identical across engines."""
+    sh = shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = MINHASH_SEEDS, band_size: int = BAND_SIZE, n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs: any band (concat of
+    band_size signature slots) colliding."""
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh_{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), F.concat(*cols).alias("key"))
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionAll(extra)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b_ = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b_, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 16-bit document sketch; same arithmetic as the
+    DuckDB oracle SQL in __spark_entry__."""
+    from ..functions.tokenizer import tokens_col
+
+    toks = docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 4), 16, 10).cast("long")
+    tf = tf.withColumn("h", h)
+    aggs = []
+    for b in range(16):
+        bit = (F.shiftright(F.col("h"), b) % 2).cast("long")
+        aggs.append(F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s_{b}"))
+    sums = tf.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id_a, id_b, cos) exact cosine pair join (baseline; LSH-bucketed
+    variant in similarity.py is the 100TB path)."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

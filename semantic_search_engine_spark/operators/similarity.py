@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Re-derives the reference's entire ANN surface in Spark:
+  * brute-force cosine top-k — the exact oracle
+    (/root/reference/src/worst_case_implementation.py:23-39)
+  * IVF: driver-side k-means on a bounded sample (the reference trains
+    on ≤1M rows, /root/reference/src/IVF.py:46), distributed assignment
+    via one Arrow-batched matmul, bucket-pruned n_probe search
+    (/root/reference/src/IVF.py:159-191)
+  * LSH: seeded random hyperplanes → sign-bit bucket, multi-table union
+    of candidates (/root/reference/src/LSH.py:25-54, 131-152)
+
+Cosine math: float64, pure column expressions (zip_with + aggregate →
+JVM codegen) for exact paths; NumPy matmul inside pandas UDFs for the
+batched assignment (the reference's vectorized kernel,
+/root/reference/src/IVF.py:165-166, with Arrow batches as the chunks).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def dot_expr(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a) -> "F.Column":
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a, b) -> "F.Column":
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Brute-force exact cosine top-k (TakeOrderedAndProject plan)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = emb.select(
+        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos")
+    )
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(exclude_ids))
+    return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------- IVF
+
+def kmeans_fit(x: np.ndarray, k: int, iters: int = 20, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic Lloyd k-means (driver-side, bounded sample) —
+    stands in for the reference's scipy kmeans2 (/root/reference/src/kmeans.py:13-15)."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(x.shape[0], size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+class IVFIndex:
+    """IVF-flat over an embedding DataFrame. Build: sample → k-means →
+    distributed nearest-centroid assignment (Arrow matmul) → table
+    partitioned by bucket. Query: score centroids, probe n_probe
+    buckets (partition-pruned scan), exact cosine inside buckets."""
+
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls, emb: DataFrame, n_clusters: int, sample_cap: int = 100_000,
+        id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+    ) -> "IVFIndex":
+        sample = np.array(
+            [r[0] for r in emb.select(vec_col).limit(sample_cap).collect()], dtype=np.float64
+        )
+        cent = kmeans_fit(sample, n_clusters, seed=seed)
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+        def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                m = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                pdf = pdf.copy()
+                pdf["bucket"] = (mn @ cn.T).argmax(1).astype(np.int32)
+                yield pdf
+
+        schema = emb.select(id_col, vec_col).schema.add("bucket", "integer")
+        assigned = (
+            emb.select(id_col, vec_col)
+            .mapInPandas(assign, schema)
+            .repartition("bucket")
+            .cache()
+        )
+        return cls(assigned, cent, id_col, vec_col)
+
+    def search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        scores = cn @ (q / np.linalg.norm(q))
+        probe = [int(b) for b in np.argsort(scores)[-n_probe:]]
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        return (
+            self.assigned.filter(F.col("bucket").isin(probe))
+            .select(self.id_col, F.round(cosine_expr(F.col(self.vec_col), qcol), 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+
+# ---------------------------------------------------------------- LSH
+
+class CosineLSH:
+    """Random-hyperplane sign LSH, multi-table (reference
+    /root/reference/src/LSH.py:25-54): bucket = bits of sign(v·plane)."""
+
+    def __init__(self, hashed: DataFrame, planes: np.ndarray, id_col: str, vec_col: str):
+        self.hashed = hashed
+        self.planes = planes
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls, emb: DataFrame, num_tables: int = 4, hash_bits: int = 8,
+        id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42, dim: int | None = None,
+    ) -> "CosineLSH":
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_tables, hash_bits, dim))
+
+        def hash_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                m = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+                outs = []
+                for t in range(planes.shape[0]):
+                    bits = (m @ planes[t].T) > 0
+                    keys = (bits.astype(np.int64) * (1 << np.arange(planes.shape[1]))).sum(1)
+                    outs.append(pd.DataFrame({
+                        "vid": pdf[id_col].to_numpy(), "table": np.int32(t), "bucket": keys,
+                    }))
+                yield pd.concat(outs)
+
+        hashed = (
+            emb.select(id_col, vec_col)
+            .mapInPandas(hash_rows, "vid long, table int, bucket long")
+            .cache()
+        )
+        return cls(hashed, planes, id_col, vec_col)
+
+    def search(self, emb: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        probes = []
+        for t in range(self.planes.shape[0]):
+            bits = (self.planes[t] @ q) > 0
+            probes.append((t, int((bits.astype(np.int64) * (1 << np.arange(self.planes.shape[1]))).sum())))
+        spark = emb.sparkSession
+        probe_df = spark.createDataFrame(probes, "table int, bucket long")
+        cand = self.hashed.join(F.broadcast(probe_df), ["table", "bucket"]).select(
+            F.col("vid").alias(self.id_col)
+        ).distinct()
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        return (
+            emb.join(cand, self.id_col)
+            .select(self.id_col, F.round(cosine_expr(F.col(self.vec_col), qcol), 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc(self.id_col))
+            .limit(k)
+        )

@@ -1,0 +1,143 @@
+"""Dedup / similarity / textstats / multimodal operators on planted
+fixtures (the driver-table parity for these is covered by
+scripts/check_entry.py against DuckDB at sf0.01)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_search_engine_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                     # exact dup of 0
+        (2, base + " extra", "en"),          # near dup of 0
+        (3, "totally different words here about other topics", "en"),
+        (4, "the quick brown fox and the lazy dog of the town", "en"),
+        (5, "der hund und die katze ist da", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    got = dedup.exact_duplicate_groups(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 2 and got[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_bands_candidates(docs):
+    got = dedup.minhash_band_pairs(docs).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_simhash_close_for_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham <= ham_far
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert got[4] == "en"
+    assert got[5] == "de"
+    assert got[0] == "und"  # no markers at all
+
+
+def test_quality_and_counts(docs):
+    q = textstats.quality_score(docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 10
+    assert 0 < q.loc[0, "quality"] <= 1
+    fp = textstats.doc_fingerprints(docs).toPandas()
+    assert fp["fp"].str.len().eq(32).all()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    m = rng.standard_normal((300, 16)).astype(np.float32)
+    m[7] = m[3] * 1.001 + 0.001  # planted near-dup
+    rows = [(int(i), [float(x) for x in m[i]]) for i in range(300)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(), m
+
+
+def test_bruteforce_cosine_topk(emb):
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    got = similarity.cosine_topk(df, q, k=5, exclude_ids=[3]).toPandas()
+    # oracle in numpy float64
+    mm = m.astype(np.float64)
+    qq = np.asarray(q)
+    cos = (mm @ qq) / (np.linalg.norm(mm, axis=1) * np.linalg.norm(qq))
+    cos[3] = -np.inf
+    want = np.argsort(-cos, kind="stable")[:5]
+    assert got["vec_id"].iloc[0] == 7  # planted neighbor first
+    assert list(got["vec_id"]) == [int(i) for i in want]
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    idx = similarity.IVFIndex.build(df, n_clusters=6, sample_cap=300)
+    got = idx.search(q, k=6, n_probe=6).toPandas()
+    want = similarity.cosine_topk(df, q, k=6).toPandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+
+
+def test_ivf_pruned_probe_recall(emb):
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    idx = similarity.IVFIndex.build(df, n_clusters=6, sample_cap=300)
+    got = idx.search(q, k=5, n_probe=2).toPandas()
+    assert 3 in set(got["vec_id"])  # query vector's own id found
+    assert 7 in set(got["vec_id"])  # planted neighbor found
+
+
+def test_lsh_finds_planted_neighbor(emb):
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    lsh = similarity.CosineLSH.build(df, num_tables=6, hash_bits=6)
+    got = lsh.search(df, q, k=5).toPandas()
+    assert 3 in set(got["vec_id"]) and 7 in set(got["vec_id"])
+
+
+def test_embedding_neardup_pairs(emb):
+    df, _ = emb
+    got = dedup.embedding_neardup_pairs(df, threshold=0.99).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(3, 7)}
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, "image" if i % 2 == 0 else "video", bytes([i]) * (50 + i)) for i in range(20)]
+    assets = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    feats = multimodal.extract_features(assets).cache()
+    pdf = feats.toPandas()
+    assert len(pdf) == 20
+    assert pdf["feature"].map(len).eq(multimodal.FEATURE_DIM).all()
+    assert (pdf[pdf["kind"] == "image"]["n_frames"] == 1).all()
+    # determinism: same payload → same feature
+    pdf2 = multimodal.extract_features(assets).toPandas().sort_values("asset_id")
+    a = np.stack(pdf.sort_values("asset_id")["feature"].map(np.asarray))
+    b = np.stack(pdf2["feature"].map(np.asarray))
+    assert (a == b).all()
+    frames = multimodal.frame_sample(feats, every_n=4).toPandas()
+    assert (frames.groupby("asset_id").size() >= 1).all()
+    rz = multimodal.resize_meta(feats, max_side=128).toPandas()
+    assert (rz[["out_w", "out_h"]].max(axis=1) <= 128).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"x", "image")
