@@ -31,6 +31,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 20000))
+    # fixed shard count => identical work at any parallelism (strong scaling)
+    num_shards = int(os.environ.get("SPARK_GRAFT_SHARDS", 32))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -39,8 +41,14 @@ def main() -> None:
     from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
     from semantic_search_engine_spark.session import get_spark
 
+    # SPARK_GRAFT_MASTER overrides (e.g. local-cluster[4,8,8192] for real
+    # multi-executor scaling evidence); default local[cpus]
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     spark = get_spark(
-        app_name="ssse-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name="ssse-bench",
+        master=master,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "6g")},
     )
 
     timings: dict[str, float] = {}
@@ -58,18 +66,29 @@ def main() -> None:
         generate_webtext(spark, n_bench_docs).write.mode("overwrite").parquet(corpus_path)
         docs = spark.read.parquet(corpus_path)
 
+        # untimed warmup: small build exercises every stage once (JIT,
+        # python worker spawn+imports, codegen) so timed numbers measure
+        # steady-state throughput, not cold-start
+        warm_docs = generate_webtext(spark, 2000, seed=7)
+        build_index(warm_docs, os.path.join(work, "warm_idx"), num_shards=num_shards)
+
         idx_dir = os.path.join(work, "index")
-        timed("build_index_webtext", lambda: build_index(docs, idx_dir, num_shards=cpus))
+        timed("build_index_webtext", lambda: build_index(docs, idx_dir, num_shards=num_shards))
 
         reader = IndexReader(spark, idx_dir)
-        queries = generate_queries()
+        queries = generate_queries(
+            n_queries=int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", 50))
+        )
+        search_index_wand(reader, queries[:5]).collect()  # warm the query path
         res = timed("wand_batch", lambda: search_index_wand(reader, queries).collect())
         assert len(res) > 0
 
-        timed("bm25_exhaustive", lambda: entrymod.q_bm25_topk(spark, sf_dir).collect())
-        timed("dedup_minhash", lambda: entrymod.q_dedup_minhash_bands(spark, sf_dir).collect())
-        timed("ann_cosine", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
-        timed("tpch_q1", lambda: entrymod.q_tpch_q1(spark, sf_dir).collect())
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        if not only:  # scaling runs set this to skip the sf-table suite
+            timed("bm25_exhaustive", lambda: entrymod.q_bm25_topk(spark, sf_dir).collect())
+            timed("dedup_minhash", lambda: entrymod.q_dedup_minhash_bands(spark, sf_dir).collect())
+            timed("ann_cosine", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
+            timed("tpch_q1", lambda: entrymod.q_tpch_q1(spark, sf_dir).collect())
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -30,11 +30,14 @@ BLOCK_SIZE = 128
 _THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]
 
 
-def varint_encode(a: np.ndarray) -> bytes:
-    """LEB128-style varint encode of a uint64 array (vectorized)."""
+def varint_encode_with_offsets(a: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-style varint encode (vectorized). Returns (payload,
+    byte_ends) where byte_ends[i] is the exclusive byte offset of
+    element i — callers slice per-block payloads out of one big encode
+    (this is what makes whole-segment encoding a single pass)."""
     a = np.ascontiguousarray(a, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     n = np.ones(a.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         n += (a >= np.uint64(t)).astype(np.int64)
@@ -47,7 +50,12 @@ def varint_encode(a: np.ndarray) -> bytes:
         vals = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (n[mask] > j + 1).astype(np.uint8) << np.uint8(7)
         out[starts[mask] + j] = vals.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varint_encode(a: np.ndarray) -> bytes:
+    """LEB128-style varint encode of a uint64 array (vectorized)."""
+    return varint_encode_with_offsets(a)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -103,6 +111,100 @@ def decode_block(first_docid: int, docids_bin: bytes, tfs_bin: bytes, dls_bin: b
     gaps = varint_decode(docids_bin).astype(np.int64)
     docids = np.cumsum(gaps) + first_docid
     return docids, varint_decode(tfs_bin).astype(np.int64), varint_decode(dls_bin).astype(np.int64)
+
+
+def encode_segment_blocks(
+    term_ids: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode an ENTIRE segment's posting relation in one vectorized
+    pass (no per-term Python loop). Input must be sorted by
+    (term_id, docid) with docids strictly increasing within a term.
+
+    Returns a dict of parallel per-block arrays:
+      term_id, block_seq, first_docid, last_docid, n, block_cf,
+      docids_bin, tfs_bin, dls_bin (object arrays of bytes).
+    """
+    n = docids.size
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return {
+            "term_id": empty, "block_seq": empty, "first_docid": empty,
+            "last_docid": empty, "n": empty, "block_cf": empty,
+            "docids_bin": np.empty(0, dtype=object),
+            "tfs_bin": np.empty(0, dtype=object),
+            "dls_bin": np.empty(0, dtype=object),
+        }
+    term_ids = np.asarray(term_ids, dtype=np.int64)
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int64)
+
+    is_term_start = np.empty(n, dtype=bool)
+    is_term_start[0] = True
+    np.not_equal(term_ids[1:], term_ids[:-1], out=is_term_start[1:])
+    term_starts = np.flatnonzero(is_term_start)
+    # rank of each posting within its term
+    start_of_elem = term_starts[np.cumsum(is_term_start) - 1]
+    rank = idx - start_of_elem
+    block_start_mask = (rank % block_size) == 0
+    block_starts = np.flatnonzero(block_start_mask)
+    block_ends = np.concatenate([block_starts[1:], [n]])
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(docids[1:], docids[:-1], out=gaps[1:])
+    gaps[block_starts] = 0  # gap resets at every block (incl. term) start
+
+    payload_d, ends_d = varint_encode_with_offsets(gaps.astype(np.uint64))
+    payload_t, ends_t = varint_encode_with_offsets(tfs.astype(np.uint64))
+    payload_l, ends_l = varint_encode_with_offsets(dls.astype(np.uint64))
+
+    def _slice(payload: bytes, ends: np.ndarray) -> np.ndarray:
+        starts_b = np.where(block_starts > 0, ends[block_starts - 1], 0)
+        ends_b = ends[block_ends - 1]
+        out = np.empty(block_starts.size, dtype=object)
+        for i in range(block_starts.size):  # cheap: one bytes-slice per block
+            out[i] = payload[starts_b[i] : ends_b[i]]
+        return out
+
+    return {
+        "term_id": term_ids[block_starts],
+        "block_seq": (rank[block_starts] // block_size).astype(np.int64),
+        "first_docid": docids[block_starts],
+        "last_docid": docids[block_ends - 1],
+        "n": (block_ends - block_starts).astype(np.int64),
+        "block_cf": np.add.reduceat(tfs, block_starts),
+        "docids_bin": _slice(payload_d, ends_d),
+        "tfs_bin": _slice(payload_t, ends_t),
+        "dls_bin": _slice(payload_l, ends_l),
+    }
+
+
+def decode_blocks_batch(first_docids, ns, docids_bins, tfs_bins, dls_bins):
+    """Decode MANY blocks in one vectorized pass.
+
+    Returns (docids, tfs, dls, block_starts) — flat arrays covering all
+    blocks concatenated in input order; block i occupies
+    [block_starts[i], block_starts[i] + ns[i]).
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    if ns.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy(), e.copy()
+    gaps = varint_decode(b"".join(docids_bins)).astype(np.int64)
+    tfs = varint_decode(b"".join(tfs_bins)).astype(np.int64)
+    dls = varint_decode(b"".join(dls_bins)).astype(np.int64)
+    block_starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    cs = np.cumsum(gaps)
+    base = np.repeat(cs[block_starts], ns)
+    first_rep = np.repeat(np.asarray(first_docids, dtype=np.int64), ns)
+    docids = first_rep + (cs - base)
+    return docids, tfs, dls, block_starts
 
 
 def decode_posting_blocks(blocks: list[tuple[int, bytes, bytes, bytes]]):

@@ -1,14 +1,16 @@
 """Index-backed top-k retrieval: exhaustive and block-max-pruned paths.
 
 Exhaustive (reference-semantics baseline, SURVEY §3.2):
-  query terms ⋈ postings (broadcast tiny query side, parquet row-group
-  skipping on `term` via min/max stats — postings are term-sorted per
-  shard) → decode blocks in Arrow batches → Σ impact per (qid, docid)
-  → per-qid top-k (window row_number, ties score desc / docid asc).
+  query terms filter → postings scan (parquet row-group skipping on
+  `term` via min/max stats — postings are term-sorted per shard) →
+  batch-decode blocks in Arrow batches (one vectorized varint pass per
+  batch, no per-block Python) → Σ impact per (qid, docid) → per-qid
+  top-k (window row_number, ties score desc / docid asc).
 
-Block-max pruned ("WAND" path, north_star): per (qid, shard) group —
-the index is document-sharded, every doc's postings live in exactly one
-shard — a batched block-max algorithm:
+Block-max pruned ("WAND" path, north_star): per-shard groups — the
+index is document-sharded, every doc's postings live in exactly one
+shard — run a batched block-max algorithm per query, sharing a decoded-
+block cache across the whole query batch:
 
   1. σ_t   = max block_max of term t in this shard (upper bound on any
              single-term contribution here)
@@ -18,10 +20,10 @@ shard — a batched block-max algorithm:
      Soundness: for a doc d, total(d) ≤ block_max(b_t(d)) +
      Σ_{t'≠t} σ_{t'} for ANY term t containing d; if every block
      containing d is dropped, total(d) < θ, so d cannot displace the
-     seeded top-k (ties included, ≥ keeps the boundary).
+     seeded top-k (ties included — ≥ keeps the boundary).
   4. candidates = docids of kept blocks; exact-score them — skipped
      blocks overlapping a candidate are decoded on demand.
-  5. emit per-group top-k; global merge = window row_number ≤ k.
+  5. emit per-(qid, shard) top-k; global merge = window row_number ≤ k.
 
 Analog of the reference's n-probe bucket pruning + two-level heap
 (/root/reference/src/IVF.py:165-191): block_max metadata plays the
@@ -39,6 +41,9 @@ from pyspark.sql import functions as F
 from ..functions.bm25 import impact_np
 from ..functions.tokenizer import tokenize
 from ..sources import index_store
+from .codec import decode_block, decode_blocks_batch
+
+RESULT_SCHEMA = "qid int, k int, docid long, score double"
 
 
 class IndexReader:
@@ -60,12 +65,15 @@ class IndexReader:
         return {r["term"]: float(r["idf"]) for r in rows}
 
 
-def _query_rows(queries: list[dict]) -> list[tuple[int, int, str]]:
-    rows = []
+def _query_plan(queries: list[dict]) -> tuple[list[tuple[int, int, list[str]]], list[str]]:
+    """[(qid, k, sorted distinct terms)], all distinct terms."""
+    plan = []
+    allterms: set[str] = set()
     for q in queries:
-        for t in sorted(set(tokenize(q["query"]))):
-            rows.append((int(q["qid"]), int(q["k"]), t))
-    return rows
+        terms = sorted(set(tokenize(q["query"])))
+        plan.append((int(q["qid"]), int(q["k"]), terms))
+        allterms.update(terms)
+    return plan, sorted(allterms)
 
 
 def _topk_window(cand: DataFrame) -> DataFrame:
@@ -77,35 +85,43 @@ def _topk_window(cand: DataFrame) -> DataFrame:
     )
 
 
+def _empty_result(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "qid int, rank int, docid long, score double")
+
+
 def search_index_exhaustive(reader: IndexReader, queries: list[dict]) -> DataFrame:
     """(qid, rank, docid, score) via full decode of matching terms."""
     spark = reader.spark
-    rows = _query_rows(queries)
-    if not rows:
-        return spark.createDataFrame([], "qid int, rank int, docid long, score double")
-    qdf = spark.createDataFrame(rows, "qid int, k int, term string")
-    terms = sorted({t for _, _, t in rows})
+    plan, terms = _query_plan(queries)
     idf_map = reader.idf_map(terms)
+    if not idf_map:
+        return _empty_result(spark)
     avgdl = float(reader.stats["avgdl"])
+    qrows = [(qid, k, t) for qid, k, ts in plan for t in ts if t in idf_map]
+    qdf = spark.createDataFrame(qrows, "qid int, k int, term string")
 
-    blocks = reader.postings().filter(F.col("term").isin(terms)).join(F.broadcast(qdf), "term")
+    blocks = reader.postings().filter(F.col("term").isin(list(idf_map))).join(
+        F.broadcast(qdf), "term"
+    )
 
     def decode_score(it):
         for pdf in it:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                from .codec import decode_block
-
-                d, tfs, dls = decode_block(r.first_docid, r.docids_bin, r.tfs_bin, r.dls_bin)
-                imp = impact_np(tfs, dls, idf_map[r.term], avgdl)
-                outs.append(
-                    pd.DataFrame({"qid": np.int32(r.qid), "k": np.int32(r.k), "docid": d, "impact": imp})
-                )
-            yield (
-                pd.concat(outs)
-                if outs
-                else pd.DataFrame({"qid": pd.Series(dtype="int32"), "k": pd.Series(dtype="int32"),
-                                   "docid": pd.Series(dtype="int64"), "impact": pd.Series(dtype="float64")})
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy()
+            d, tfs, dls, _ = decode_blocks_batch(
+                pdf["first_docid"].to_numpy(), ns,
+                pdf["docids_bin"], pdf["tfs_bin"], pdf["dls_bin"],
+            )
+            idf_rep = np.repeat(pdf["term"].map(idf_map).to_numpy(dtype=np.float64), ns)
+            imp = impact_np(tfs, dls, idf_rep, avgdl)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(np.int32), ns),
+                    "k": np.repeat(pdf["k"].to_numpy(np.int32), ns),
+                    "docid": d,
+                    "impact": imp,
+                }
             )
 
     cand = (
@@ -134,90 +150,106 @@ def _score_candidates(cands: np.ndarray, per_term: dict, idf_map, avgdl) -> np.n
 
 
 def search_index_wand(reader: IndexReader, queries: list[dict]) -> DataFrame:
-    """(qid, rank, docid, score) via per-(qid, shard) block-max pruning."""
+    """(qid, rank, docid, score) via per-shard block-max pruning.
+
+    One applyInPandas group per shard (not per (qid, shard)) — the
+    whole query batch runs against each shard with a shared decoded-
+    block cache, amortizing group/UDF overhead across queries."""
     spark = reader.spark
-    rows = _query_rows(queries)
-    if not rows:
-        return spark.createDataFrame([], "qid int, rank int, docid long, score double")
-    qdf = spark.createDataFrame(rows, "qid int, k int, term string")
-    terms = sorted({t for _, _, t in rows})
+    plan, terms = _query_plan(queries)
     idf_map = reader.idf_map(terms)
+    if not idf_map:
+        return _empty_result(spark)
     avgdl = float(reader.stats["avgdl"])
+    known_plan = [
+        (qid, k, [t for t in ts if t in idf_map]) for qid, k, ts in plan
+    ]
+    known_plan = [(q, k, ts) for q, k, ts in known_plan if ts]
+    if not known_plan:
+        return _empty_result(spark)
 
-    blocks = reader.postings().filter(F.col("term").isin(terms)).join(F.broadcast(qdf), "term")
+    blocks = reader.postings().filter(F.col("term").isin(list(idf_map)))
 
-    def wand_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from .codec import decode_block
+    def wand_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]}
+            )
+        terms_arr = pdf["term"].to_numpy()
+        first = pdf["first_docid"].to_numpy()
+        last = pdf["last_docid"].to_numpy()
+        bm = pdf["block_max"].to_numpy()
+        d_bins = pdf["docids_bin"].to_numpy()
+        t_bins = pdf["tfs_bin"].to_numpy()
+        l_bins = pdf["dls_bin"].to_numpy()
 
-        qid = int(key[0])
-        k = int(pdf["k"].iloc[0])
+        # per-term block positions ordered by first_docid (runs are disjoint)
+        pos_by_term: dict[str, np.ndarray] = {}
+        for t in np.unique(terms_arr):
+            sel = np.flatnonzero(terms_arr == t)
+            pos_by_term[t] = sel[np.argsort(first[sel], kind="stable")]
+
         decoded: dict[int, tuple] = {}
 
-        def dec(i):
+        def dec(i: int):
             if i not in decoded:
-                r = pdf.iloc[i]
-                decoded[i] = decode_block(
-                    int(r["first_docid"]), r["docids_bin"], r["tfs_bin"], r["dls_bin"]
-                )
+                decoded[i] = decode_block(int(first[i]), d_bins[i], t_bins[i], l_bins[i])
             return decoded[i]
 
-        terms_here = pdf["term"].unique()
-        sigma = pdf.groupby("term")["block_max"].max().to_dict()
-        sig_sum = float(sum(sigma.values()))
-
-        first = pdf["first_docid"].to_numpy()
-
-        def per_term_for(cands: np.ndarray) -> dict:
-            """Per-term (docids, tfs, dls) arrays covering all candidates;
-            blocks concatenated in docid order (runs are disjoint)."""
+        def per_term_for(cands: np.ndarray, qterms: list[str]) -> dict:
             out = {}
-            for t in terms_here:
-                sel = np.flatnonzero((pdf["term"] == t).to_numpy())
-                sel = sel[np.argsort(first[sel], kind="stable")]
+            for t in qterms:
                 parts = []
-                for ipos in sel:
-                    r = pdf.iloc[int(ipos)]
-                    lo = np.searchsorted(cands, int(r["first_docid"]))
-                    hi = np.searchsorted(cands, int(r["last_docid"]), side="right")
+                for i in pos_by_term.get(t, ()):  # ordered by first_docid
+                    lo = np.searchsorted(cands, first[i])
+                    hi = np.searchsorted(cands, last[i], side="right")
                     if hi > lo:
-                        parts.append(dec(int(ipos)))
+                        parts.append(dec(int(i)))
                 if parts:
                     out[t] = tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
                 else:
                     out[t] = (np.empty(0, np.int64),) * 3
             return out
 
-        # seed θ from the highest-block_max block
-        seed_i = int(pdf["block_max"].to_numpy().argmax())
-        seed_docs = dec(seed_i)[0]
-        seed_scores = _score_candidates(seed_docs, per_term_for(seed_docs), idf_map, avgdl)
-        if seed_scores.size >= k:
-            theta = float(np.sort(seed_scores)[-k])
-        else:
-            theta = float("-inf")
+        outs = []
+        for qid, k, qterms in known_plan:
+            q_pos = [p for t in qterms for p in pos_by_term.get(t, ())]
+            if not q_pos:
+                continue
+            q_pos = np.asarray(q_pos, dtype=np.int64)
+            sigma = {t: float(bm[pos_by_term[t]].max()) for t in qterms if t in pos_by_term}
+            sig_sum = float(sum(sigma.values()))
 
-        # keep blocks whose bound can reach θ
-        bm = pdf["block_max"].to_numpy()
-        bounds = bm + (sig_sum - np.array([sigma[t] for t in pdf["term"]]))
-        keep = bounds >= theta
-        kept_idx = np.flatnonzero(keep)
-        if kept_idx.size == 0:
-            return pd.DataFrame({"qid": [], "k": [], "docid": [], "score": []}).astype(
-                {"qid": "int32", "k": "int32", "docid": "int64", "score": "float64"}
+            # seed θ from the highest-block_max block of this query
+            seed_i = int(q_pos[bm[q_pos].argmax()])
+            seed_docs = dec(seed_i)[0]
+            seed_scores = _score_candidates(seed_docs, per_term_for(seed_docs, qterms), idf_map, avgdl)
+            theta = float(np.sort(seed_scores)[-k]) if seed_scores.size >= k else float("-inf")
+
+            bounds = bm[q_pos] + (sig_sum - np.array([sigma[t] for t in terms_arr[q_pos]]))
+            kept = q_pos[bounds >= theta]
+            if kept.size == 0:
+                continue
+            cands = np.unique(np.concatenate([dec(int(i))[0] for i in kept]))
+            scores = _score_candidates(cands, per_term_for(cands, qterms), idf_map, avgdl)
+            order = np.lexsort((cands, -scores))[:k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(order.size, qid, dtype=np.int32),
+                        "k": np.full(order.size, k, dtype=np.int32),
+                        "docid": cands[order],
+                        "score": scores[order],
+                    }
+                )
             )
-        cands = np.unique(np.concatenate([dec(int(i))[0] for i in kept_idx]))
-        scores = _score_candidates(cands, per_term_for(cands), idf_map, avgdl)
-        order = np.lexsort((cands, -scores))[:k]
-        return pd.DataFrame(
-            {
-                "qid": np.full(order.size, qid, dtype=np.int32),
-                "k": np.full(order.size, k, dtype=np.int32),
-                "docid": cands[order],
-                "score": scores[order],
-            }
-        )
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]}
+            )
+        return pd.concat(outs)
 
-    local = blocks.groupBy("qid", "shard").applyInPandas(
-        wand_group, "qid int, k int, docid long, score double"
-    )
+    local = blocks.groupBy("shard").applyInPandas(wand_shard, RESULT_SCHEMA)
     return _topk_window(local)

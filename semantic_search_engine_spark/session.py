@@ -23,13 +23,32 @@ def get_spark(
     ``master=None`` respects an already-running session / spark-submit
     master; tests pass ``local[4]`` etc. explicitly.
     """
+    # Pin BLAS pools: every Arrow python worker would otherwise spawn
+    # ncores BLAS threads → ncores² runnable threads (measured 2-3×
+    # slowdown at local[32]). Spark supplies the parallelism; kernels
+    # must stay single-threaded. Must be set before numpy loads in
+    # workers (they inherit this process's env via pyspark.daemon).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    # local-cluster[n,c,m] (real executor JVMs) needs SPARK_HOME to
+    # launch executors from the pip-installed distribution
+    if "SPARK_HOME" not in os.environ:
+        import pyspark
+
+        os.environ["SPARK_HOME"] = os.path.dirname(pyspark.__file__)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    # Executors in non-thread-local masters (local-cluster, standalone,
+    # YARN) unpickle UDF closures that import this package — ship the
+    # repo on their PYTHONPATH. Real clusters use spark-submit
+    # --py-files with the zip from scripts/make_pyfiles.py instead.
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     conf = {
+        "spark.executorEnv.PYTHONPATH": repo_dir,
         # AQE: runtime coalescing + skew-join splitting — mandatory at scale
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

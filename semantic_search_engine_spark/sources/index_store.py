@@ -32,9 +32,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 SEGMENT_SCHEMA = (
     "shard int, term string, block_seq int, first_docid long, last_docid long, "
-    "n int, block_cf long, docids_bin binary, tfs_bin binary, dls_bin binary"
+    "n int, block_cf long, docids_bin binary, tfs_bin binary, dls_bin binary, "
+    # shard-level doc metrics, constant per shard — emitted by the SPIMI
+    # kernel so manifest metrics need no extra pass over the corpus
+    "shard_n_docs long, shard_min_docid long, shard_max_docid long"
 )
-POSTING_SCHEMA = SEGMENT_SCHEMA + ", block_max double"
+POSTING_SCHEMA = (
+    "shard int, term string, block_seq int, first_docid long, last_docid long, "
+    "n int, block_cf long, docids_bin binary, tfs_bin binary, dls_bin binary, "
+    "block_max double"
+)
 MANIFEST_SCHEMA = (
     "shard int, n_docs long, sum_dl long, n_terms long, n_blocks long, "
     "n_postings long, payload_bytes long, first_docid long, last_docid long, "

@@ -1,0 +1,46 @@
+"""Plan-shape assertions: the flagship query paths must keep the
+physical plan we designed (pushdown, broadcast, distributed top-k)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_search_engine_spark.fixtures.webtext import generate_webtext
+from semantic_search_engine_spark.operators.build import build_index
+from semantic_search_engine_spark.operators.docids import mint_docids
+from semantic_search_engine_spark.operators.postings import (
+    corpus_stats,
+    doc_freq,
+    scored_postings,
+    term_frequencies,
+)
+from semantic_search_engine_spark.operators.query import IndexReader
+from semantic_search_engine_spark.operators.topk import search
+from semantic_search_engine_spark.plans import audit
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pidx"))
+    docs = generate_webtext(spark, 300)
+    build_index(docs, d, num_shards=4)
+    return d
+
+
+def test_postings_scan_pushes_term_filter(spark, small_index):
+    reader = IndexReader(spark, small_index)
+    df = reader.postings().filter(F.col("term").isin(["bababa", "cecece"]))
+    assert audit.has_pushed_filter(df, "In(term")
+
+
+def test_exhaustive_topk_is_take_ordered(spark):
+    docs = mint_docids(generate_webtext(spark, 300), num_buckets=4)
+    stats = corpus_stats(docs)
+    postings = term_frequencies(docs)
+    scored = scored_postings(postings, doc_freq(postings), stats)
+    res = search(scored, "bababa cecece", 5)
+    assert audit.is_take_ordered(res)
+    assert audit.has_broadcast_join(res)  # df-table join stays broadcast
+    # map-side partial agg before the shuffle (SPIMI-style combine)
+    assert "partial_sum" in audit.physical_plan(res)
+    res.collect()  # finalize AQE → codegen stages become visible
+    assert audit.codegen_stage_count(res) >= 2
