@@ -31,8 +31,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     n_bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 20000))
-    # fixed shard count => identical work at any parallelism (strong scaling)
-    num_shards = int(os.environ.get("SPARK_GRAFT_SHARDS", 32))
+    # shard count: explicit via env, else size-tiered auto (identical at
+    # any parallelism since it derives from corpus size => strong scaling)
+    _shards_env = os.environ.get("SPARK_GRAFT_SHARDS")
+    num_shards = int(_shards_env) if _shards_env else None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod

@@ -43,7 +43,6 @@ def run(master: str, cores: int, n_docs: int) -> dict:
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_BENCH_DOCS=str(n_docs),
         SPARK_GRAFT_BENCH_QUERIES=str(BENCH_QUERIES),
-        SPARK_GRAFT_SHARDS="32",
         SPARK_GRAFT_EXEC_MEM="6g",
         SPARK_GRAFT_BENCH_ONLY="build,wand",
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -92,8 +91,9 @@ def main() -> None:
 North_rule asks for ≥0.8 throughput scaling efficiency between N and 4N
 executors, evidenced here (no real cluster in the sandbox) by running
 the SAME job — deterministic webtext corpus (seed 42; size per axis in
-the table), 32 shards, {BENCH_QUERIES + 1}-query block-max-WAND batch —
-at two parallelism levels. Efficiency = rate(4N) / (4·rate(N)). Numbers are
+the table), size-tiered shard count (derived from corpus size, so work
+is identical at both levels), {BENCH_QUERIES + 1}-query block-max-WAND
+batch — at two parallelism levels. Efficiency = rate(4N) / (4·rate(N)). Numbers are
 steady-state: every bench run does an untimed warmup build + query
 first (JIT, python-worker spawn, codegen).
 

@@ -112,6 +112,22 @@ def _spimi_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+DOCS_PER_SHARD = int(os.environ.get("SSSE_DOCS_PER_SHARD", 15_000))
+
+
+def auto_num_shards(docs: DataFrame) -> int:
+    """Size-tiered shard count (the reference's per-size config pattern,
+    /root/reference/src/IVF.py:12-20): pin shard size to ~DOCS_PER_SHARD
+    docs so the per-shard Arrow working set stays small — SPIMI kernel
+    memory is O(shard tokens), and oversized shards measured ~10× slower
+    on this host (page-fault-bound). At real cluster scale this knob is
+    tuned to executor memory instead; shards are the unit of build
+    parallelism, resume, and salted merge either way."""
+    n = docs.count()
+    cpus = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(cpus, -(-n // DOCS_PER_SHARD))
+
+
 def build_segments(
     docs: DataFrame,
     index_dir: str,
@@ -128,7 +144,7 @@ def build_segments(
     """
     spark = docs.sparkSession
     if num_shards is None:
-        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        num_shards = auto_num_shards(docs)
     if batch_shards is None:
         batch_shards = num_shards  # single batch by default
     os.makedirs(index_dir, exist_ok=True)

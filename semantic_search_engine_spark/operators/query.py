@@ -168,7 +168,14 @@ def search_index_wand(reader: IndexReader, queries: list[dict]) -> DataFrame:
     if not known_plan:
         return _empty_result(spark)
 
-    blocks = reader.postings().filter(F.col("term").isin(list(idf_map)))
+    # Bundle shards into at most ~2×parallelism task groups: shards are
+    # docid-disjoint, so any union of whole shards is a valid WAND unit
+    # (σ bounds just get looser); group count stays bounded as the
+    # size-tiered shard count grows with the corpus.
+    n_groups = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = reader.postings().filter(F.col("term").isin(list(idf_map))).withColumn(
+        "_qgroup", F.pmod(F.col("shard"), F.lit(n_groups))
+    )
 
     def wand_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -251,5 +258,5 @@ def search_index_wand(reader: IndexReader, queries: list[dict]) -> DataFrame:
             )
         return pd.concat(outs)
 
-    local = blocks.groupBy("shard").applyInPandas(wand_shard, RESULT_SCHEMA)
+    local = blocks.groupBy("_qgroup").applyInPandas(wand_shard, RESULT_SCHEMA)
     return _topk_window(local)
