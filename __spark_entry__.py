@@ -271,6 +271,35 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(disc_price.cast("decimal(28,6)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_supplier_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
 def q_distinct_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("lang", "source").distinct()
 
@@ -306,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topk": q_orders_topk,
         "events_daily": q_events_daily,
         "events_sessionize": q_events_sessionize,
+        "brand_revenue": q_brand_revenue,
+        "supplier_nation_region": q_supplier_nation_region,
         "distinct_lang_source": q_distinct_lang_source,
     }
 
@@ -473,6 +504,20 @@ WITH x AS (SELECT user_id,
                        THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM x GROUP BY 1
+""",
+        "brand_revenue": """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+        "supplier_nation_region": """
+SELECT r_name, n_name, count(*)::BIGINT AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
 """,
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
     }
