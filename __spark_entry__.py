@@ -9,7 +9,9 @@ floats that pass through aggregation are rounded to a pinned scale.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -43,7 +45,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rank_window():
-    return Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # the window only ever ranks ≤ k+margin rows (input is post-limit),
+    # but an empty partition spec (a bare lit() is constant-folded away)
+    # makes WindowExec spam single-partition warnings over every run —
+    # partition by a non-foldable constant instead
+    return Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
 
 
 # ----------------------------------------------------------------- BM25
@@ -61,12 +69,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_oracle(k: int) -> str:
+    # dl is derived from `documents` directly (not from the unnested tok
+    # CTE) so zero-token docs contribute dl=0 to avgdl — matching the
+    # engine, which averages dl over ALL docs (corpus_stats/finalize).
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     tok = TOK_SQL.format(col="text")
     return f"""
 WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
 st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q AS (SELECT unnest([{terms}]) AS term),
@@ -85,6 +96,12 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 _WAND_CACHE: dict[str, str] = {}
 
 
+@atexit.register
+def _cleanup_wand_cache() -> None:
+    for d in _WAND_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same answer as q_bm25_topk but served from the on-disk index via
     the block-max pruned path — proves codec+build+WAND against DuckDB."""
@@ -100,10 +117,17 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WAND_CACHE[key] = d
     d = _WAND_CACHE[key]
     reader = IndexReader(spark, d)
-    res = search_index_wand(reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K}])
+    # Fetch k+10 then RE-RANK on (score desc, doc_id asc) after the
+    # docmap join: the engine's internal rank breaks ties by minted
+    # docid ((hash bucket, url) order), which differs from doc_id order.
+    # Equal BM25 scores require identical (tf vector, dl) — duplicate
+    # texts — so a 10-row margin covers any tie run at the k boundary.
+    res = search_index_wand(reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K + 10}])
     docmap = read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
     return (
         res.join(docmap, "docid")
+        .withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= BM25_K)
         .select("doc_id", "rank", F.round("score", 6).alias("score"))
     )
 
@@ -144,12 +168,33 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- dedup
+RECRAWL_STEP = 50
+RECRAWL_ID_OFFSET = 10_000_000
+
+
+def _docs_with_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a deterministic "second crawl" of every 50th doc
+    (same text, shifted doc_id). The driver testdata contains no native
+    exact duplicates, so exact dedup is exercised on this view — the
+    oracle SQL builds the identical union, keeping the check non-vacuous
+    (>0 duplicate groups) and hash-exact."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % RECRAWL_STEP == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(RECRAWL_ID_OFFSET)
+    )
+    return docs.unionByName(dup)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicate_groups(_docs(spark, sf_dir))
+    return dedup.exact_duplicate_groups(_docs_with_recrawl(spark, sf_dir))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # max_shingle_df is the skew guard (a shingle shared by >cap docs is
+    # join skew, not dedup signal); pinned far above the sf0.01 max df
+    # (7) so oracle results are unchanged while the guard stays ON in
+    # the plan the driver checks.
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, max_shingle_df=1000)
 
 
 def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,9 +457,15 @@ FROM documents
         "doc_fingerprints": (
             "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents"
         ),
-        "dedup_exact": """
+        "dedup_exact": f"""
+WITH crawl AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECRAWL_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {RECRAWL_STEP} = 0
+)
 SELECT md5(text) AS fingerprint, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM crawl GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_ngram_jaccard": f"""
 WITH {_shingle_cte()},

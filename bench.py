@@ -85,12 +85,22 @@ def main() -> None:
         res = timed("wand_batch", lambda: search_index_wand(reader, queries).collect())
         assert len(res) > 0
 
-        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-        if not only:  # scaling runs set this to skip the sf-table suite
-            timed("bm25_exhaustive", lambda: entrymod.q_bm25_topk(spark, sf_dir).collect())
-            timed("dedup_minhash", lambda: entrymod.q_dedup_minhash_bands(spark, sf_dir).collect())
-            timed("ann_cosine", lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect())
-            timed("tpch_q1", lambda: entrymod.q_tpch_q1(spark, sf_dir).collect())
+        # SPARK_GRAFT_BENCH_ONLY: comma-separated selector over the
+        # sf-table suite below (e.g. "tpch_q1,ann_cosine"). The headline
+        # build+wand timings always run; the aliases "build"/"wand" are
+        # accepted no-ops so scaling runs can say ONLY="build,wand" to
+        # select none of the suite.
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+        selected = {s.strip() for s in only.split(",") if s.strip()} if only else None
+        suite = {
+            "bm25_exhaustive": lambda: entrymod.q_bm25_topk(spark, sf_dir).collect(),
+            "dedup_minhash": lambda: entrymod.q_dedup_minhash_bands(spark, sf_dir).collect(),
+            "ann_cosine": lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect(),
+            "tpch_q1": lambda: entrymod.q_tpch_q1(spark, sf_dir).collect(),
+        }
+        for name, fn in suite.items():
+            if selected is None or name in selected:
+                timed(name, fn)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -80,7 +80,28 @@ def _spimi_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
         else np.empty(0, dtype=object)
     )
     if terms.size == 0:
-        return pd.DataFrame(columns=cols)
+        # Every doc in this shard tokenizes to zero tokens: emit one
+        # sentinel row (term="" — impossible as a real token) carrying
+        # the shard doc stats, so manifest n_docs counts these docs
+        # independently of block production. Filtered out of the
+        # dictionary/postings at finalize.
+        return pd.DataFrame(
+            {
+                "shard": np.array([shard], dtype=np.int32),
+                "term": np.array([""], dtype=object),
+                "block_seq": np.array([0], dtype=np.int32),
+                "first_docid": np.array([-1], dtype=np.int64),
+                "last_docid": np.array([-1], dtype=np.int64),
+                "n": np.array([0], dtype=np.int32),
+                "block_cf": np.array([0], dtype=np.int64),
+                "docids_bin": np.array([b""], dtype=object),
+                "tfs_bin": np.array([b""], dtype=object),
+                "dls_bin": np.array([b""], dtype=object),
+                "shard_n_docs": np.int64(len(pdf)),
+                "shard_min_docid": np.int64(pdf["docid"].iloc[0]),
+                "shard_max_docid": np.int64(pdf["docid"].iloc[-1]),
+            }
+        )
     codes, uniques = pd.factorize(terms, sort=True)
     # tf per (term, docid): sort by (term, docid), then run-length encode
     order = np.lexsort((docids_rep, codes))
@@ -184,12 +205,13 @@ def build_segments(
         seg_written = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
             F.col("shard").isin(batch)
         )
+        is_block = F.col("term") != ""  # exclude empty-shard sentinel rows
         blockside = {
             r["shard"]: r
             for r in seg_written.groupBy("shard")
             .agg(
-                F.countDistinct("term").alias("n_terms"),
-                F.count("*").alias("n_blocks"),
+                F.countDistinct(F.when(is_block, F.col("term"))).alias("n_terms"),
+                F.sum(is_block.cast("long")).alias("n_blocks"),
                 F.sum("n").alias("n_postings"),
                 F.sum("block_cf").alias("sum_dl"),
                 F.first("shard_n_docs").alias("n_docs"),
@@ -250,20 +272,29 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     writing postings sorted by (term, block_seq) within each shard so
     parquet min/max stats prune term lookups."""
     manifest = index_store.read_manifest(spark, index_dir)
+    if manifest is None:
+        raise ValueError(
+            f"no build manifest under {index_dir!r} — run build_segments first "
+            "(an empty corpus produces no segments)"
+        )
     agg = manifest.agg(
         F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("tot"), F.countDistinct("shard").alias("shards")
     ).collect()[0]
-    n_docs, total_tokens, num_shards = int(agg["n"]), int(agg["tot"]), int(agg["shards"])
+    n_docs, total_tokens, num_shards = int(agg["n"] or 0), int(agg["tot"] or 0), int(agg["shards"])
+    if n_docs == 0:
+        raise ValueError(f"index at {index_dir!r} recorded 0 documents — nothing to finalize")
     avgdl = total_tokens / n_docs
 
-    segs = index_store.read_segments(spark, index_dir)
+    # sentinel rows (term="") carry doc stats for blockless shards; they
+    # are manifest-only bookkeeping, never dictionary/posting entries
+    segs = index_store.read_segments(spark, index_dir).filter(F.col("term") != "")
     dictionary = (
         segs.groupBy("term")
         .agg(F.sum("n").alias("df"), F.sum("block_cf").alias("cf"), F.count("*").alias("n_blocks"))
         .withColumn("idf", idf_col(F.col("df").cast("double"), n_docs))
     )
     dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
-    dict_df = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    dict_df = index_store.read_dictionary(spark, index_dir)
 
     joined = segs.join(dict_df.select("term", "idf"), "term")
 

@@ -12,8 +12,9 @@ All shapes are shuffle-conscious:
     into an equi-join on (band_id, band_key)
   * SimHash        — 16-bit variant built from md5 nibbles so the
     exact same arithmetic runs in ANSI SQL for the oracle
-  * embedding cosine near-dup — exact pair join (small dims) with the
-    LSH-bucketed variant in operators/similarity.py as the scale path
+  * embedding cosine near-dup — sign-LSH banded candidate equi-join
+    (operators/similarity.py CosineLSH) + exact cosine verification;
+    no all-pairs/cartesian anywhere in the plan
 
 Set-similarity semantics follow the reference's candidate-union shape
 (/root/reference/src/LSH.py:131-152): bucket key → candidate set →
@@ -150,17 +151,49 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 40,
+    hash_bits: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b, cos) exact cosine pair join (baseline; LSH-bucketed
-    variant in similarity.py is the 100TB path)."""
-    from .similarity import cosine_expr
+    """(id_a, id_b, cos) — sign-LSH banded candidate generation + exact
+    cosine verification (the reference's bucket→candidates→verify shape,
+    /root/reference/src/LSH.py:131-152). No cartesian product anywhere:
+    candidates come from an equi-join on (table, bucket), verification
+    joins the two embedding sides by id.
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    Recall: a pair at cosine t collides in one table with probability
+    p^bits, p = 1 - arccos(t)/π; the pair is MISSED with probability
+    (1 - p^bits)^tables. The defaults (2 bits × 40 tables) give a miss
+    probability ≤ (1 - 0.648²)^40 ≈ 3e-10 at t = 0.45 — effectively
+    exact, which the DuckDB all-pairs oracle checks at sf0.01. At 100 TB
+    raise ``hash_bits`` with n (and the dedup threshold, typically
+    ≥ 0.9 where p ≈ 0.9) so per-bucket candidate counts stay bounded;
+    bits trade candidate volume against tables needed for recall.
+    """
+    from .similarity import CosineLSH, cosine_expr
+
+    lsh = CosineLSH.build(
+        emb, num_tables=num_tables, hash_bits=hash_bits,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    a = lsh.hashed.select(F.col("vid").alias("id_a"), "table", "bucket")
+    b = lsh.hashed.select(F.col("vid").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        pairs.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

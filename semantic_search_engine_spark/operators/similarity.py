@@ -89,8 +89,18 @@ class IVFIndex:
         cls, emb: DataFrame, n_clusters: int, sample_cap: int = 100_000,
         id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
     ) -> "IVFIndex":
+        # Uniform seeded sample (not limit(): that trains on whatever
+        # partitions scan first — first-partition bias). The reference
+        # trains on its first 1M rows (/root/reference/src/IVF.py:46);
+        # df.sample removes the bias at the same cost. 1.25× oversample
+        # then cap, so the k-means input size stays bounded.
+        n = emb.count()
+        fraction = min(1.0, 1.25 * sample_cap / max(n, 1))
+        vecs = emb.select(vec_col)
+        if fraction < 1.0:
+            vecs = vecs.sample(fraction=fraction, seed=seed)
         sample = np.array(
-            [r[0] for r in emb.select(vec_col).limit(sample_cap).collect()], dtype=np.float64
+            [r[0] for r in vecs.limit(sample_cap).collect()], dtype=np.float64
         )
         cent = kmeans_fit(sample, n_clusters, seed=seed)
         cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)

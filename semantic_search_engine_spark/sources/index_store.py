@@ -107,12 +107,17 @@ def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(_p(index_dir, "segments"))
 
 
+DICTIONARY_SCHEMA = "term string, df long, cf long, n_blocks long, idf double"
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(_p(index_dir, "postings"))
+    # explicit schema: readable even when the corpus had zero postings
+    # (an all-empty-text corpus writes no part files)
+    return spark.read.schema(POSTING_SCHEMA).parquet(_p(index_dir, "postings"))
 
 
 def read_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(_p(index_dir, "dictionary"))
+    return spark.read.schema(DICTIONARY_SCHEMA).parquet(_p(index_dir, "dictionary"))
 
 
 def read_stats(spark: SparkSession, index_dir: str) -> dict:

@@ -111,3 +111,36 @@ def test_noop_resume(spark, index):
     d, _, _ = index
     docs = generate_webtext(spark, N_DOCS)
     assert build_segments(docs, d, num_shards=N_SHARDS) == 0
+
+
+def test_zero_token_docs_counted(spark, tmp_path_factory):
+    """Docs whose text tokenizes to nothing still count toward n_docs /
+    avgdl (ADVICE: shard doc stats independent of block production)."""
+    d = str(tmp_path_factory.mktemp("zeroidx"))
+    rows = [(f"u{i}", "alpha beta" if i % 2 == 0 else "!!! ---") for i in range(10)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    stats = build_index(docs, d, num_shards=2)
+    assert stats["n_docs"] == 10
+    assert stats["total_tokens"] == 10  # 5 docs x 2 tokens
+    assert abs(stats["avgdl"] - 1.0) < 1e-12
+    reader = IndexReader(spark, d)
+    res = search_index_wand(reader, [{"qid": 0, "query": "alpha", "k": 3}]).collect()
+    assert len(res) == 3
+
+
+def test_all_empty_corpus_builds_and_serves_empty(spark, tmp_path_factory):
+    """An entire corpus of zero-token docs: stats still correct (sentinel
+    rows carry doc counts), queries return empty instead of crashing."""
+    d = str(tmp_path_factory.mktemp("emptyidx"))
+    docs = spark.createDataFrame([(f"u{i}", "???") for i in range(6)], "url string, text string")
+    stats = build_index(docs, d, num_shards=2)
+    assert stats["n_docs"] == 6 and stats["total_tokens"] == 0
+    reader = IndexReader(spark, d)
+    assert search_index_wand(reader, [{"qid": 0, "query": "alpha", "k": 3}]).count() == 0
+    assert search_index_exhaustive(reader, [{"qid": 0, "query": "alpha", "k": 3}]).count() == 0
+
+
+def test_finalize_without_segments_raises(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nomanifest"))
+    with pytest.raises(ValueError, match="manifest"):
+        finalize_index(spark, d)

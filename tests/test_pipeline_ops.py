@@ -122,6 +122,30 @@ def test_embedding_neardup_pairs(emb):
     assert set(zip(got["id_a"], got["id_b"])) == {(3, 7)}
 
 
+def test_embedding_neardup_matches_bruteforce(emb):
+    """Banded LSH candidates + exact verify must equal the exact
+    all-pairs answer (miss prob ~3e-10 per pair at the default params)."""
+    df, m = emb
+    mm = m.astype(np.float64)
+    nm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    cos = nm @ nm.T
+    n = len(m)
+    want = {(i, j) for i in range(n) for j in range(i + 1, n) if cos[i, j] >= 0.45}
+    got = dedup.embedding_neardup_pairs(df, threshold=0.45).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_embedding_neardup_no_cartesian(emb):
+    """The near-dup plan must stay equi-join-shaped — a cartesian or
+    nested-loop join is the O(n²)-shuffle anti-pattern at 100 TB."""
+    from semantic_search_engine_spark.plans import audit
+
+    df, _ = emb
+    plan = audit.physical_plan(dedup.embedding_neardup_pairs(df, threshold=0.45))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, "image" if i % 2 == 0 else "video", bytes([i]) * (50 + i)) for i in range(20)]
     assets = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
@@ -141,3 +165,23 @@ def test_multimodal_plumbing(spark):
     assert (rz[["out_w", "out_h"]].max(axis=1) <= 128).all()
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"x", "image")
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """max_shingle_df drops join-skew shingles (shared by more docs than
+    the cap): pairs connected ONLY through the hot shingle disappear,
+    genuinely-similar pairs survive."""
+    hot = "common boiler plate"
+    rows = [(i, f"{hot} unique{i} filler{i} words{i}") for i in range(40)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.14).toPandas()
+    hot_pairs = {(a, b) for a, b in zip(uncapped["id_a"], uncapped["id_b"]) if b < 100}
+    assert hot_pairs  # the hot shingle creates O(40^2) skew pairs
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.14, max_shingle_df=10).toPandas()
+    got = set(zip(capped["id_a"], capped["id_b"]))
+    assert (100, 101) in got          # real near-dup survives
+    assert not {p for p in got if p[1] < 100}  # skew pairs dropped
