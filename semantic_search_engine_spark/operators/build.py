@@ -149,6 +149,18 @@ def auto_num_shards(docs: DataFrame) -> int:
     return max(cpus, -(-n // DOCS_PER_SHARD))
 
 
+def pending_in_range(
+    prepared: DataFrame, finished_df: DataFrame | None, lo: int, hi: int
+) -> DataFrame:
+    """Docs of shard range [lo, hi) not yet recorded in the manifest:
+    a range predicate + broadcast left-anti join — no shard-id literal
+    lists in the plan, whatever the corpus size."""
+    part = prepared.filter((F.col("shard") >= lo) & (F.col("shard") < hi))
+    if finished_df is not None:
+        part = part.join(F.broadcast(finished_df), "shard", "left_anti")
+    return part
+
+
 def build_segments(
     docs: DataFrame,
     index_dir: str,
@@ -170,10 +182,16 @@ def build_segments(
         batch_shards = num_shards  # single batch by default
     os.makedirs(index_dir, exist_ok=True)
 
-    done = index_store.finished_shards(spark, index_dir)
-    pending = [s for s in range(num_shards) if s not in done]
-    if not pending:
+    # Resume state stays a DataFrame: batches are contiguous shard
+    # RANGES (a 2-value predicate, never a shard-id literal list), and
+    # finished shards are dropped with a broadcast left-anti join against
+    # the manifest — driver state per batch is bounded by batch_shards,
+    # not by the corpus (at 100 TB the manifest has ~10^6 rows; only the
+    # active range's ids are ever collected).
+    manifest = index_store.read_manifest(spark, index_dir)
+    if manifest is not None and manifest.select("shard").distinct().count() >= num_shards:
         return 0
+    finished_df = manifest.select("shard").distinct() if manifest is not None else None
 
     minted = mint_docids(docs, url_col=url_col, num_buckets=num_shards).withColumnRenamed(
         BUCKET_COL, "shard"
@@ -183,13 +201,26 @@ def build_segments(
     prepared = minted.select("shard", "docid", url_col, F.col(text_col).alias("text"))
 
     built = 0
-    batches = [pending[i : i + batch_shards] for i in range(0, len(pending), batch_shards)]
-    if max_batches is not None:
-        batches = batches[:max_batches]
+    processed = 0
+    ranges = [(lo, min(lo + batch_shards, num_shards)) for lo in range(0, num_shards, batch_shards)]
     timing = os.environ.get("SSSE_TIMING") == "1"
-    for batch in batches:
+    for lo, hi in ranges:
+        if max_batches is not None and processed >= max_batches:
+            break
+        in_range = (F.col("shard") >= lo) & (F.col("shard") < hi)
+        if manifest is not None:
+            done = {
+                r["shard"]
+                for r in manifest.filter(in_range).select("shard").distinct().collect()
+            }
+        else:
+            done = set()
+        batch = [s for s in range(lo, hi) if s not in done]
+        if not batch:
+            continue
+        processed += 1
         t0 = time.perf_counter()
-        part = prepared.filter(F.col("shard").isin(batch)).cache()
+        part = pending_in_range(prepared, finished_df if done else None, lo, hi).cache()
         seg = part.groupBy("shard").applyInPandas(_spimi_segment, SEGMENT_SCHEMA)
         batch_id = index_store.write_segment_batch(seg, index_dir, batch)
         if timing:

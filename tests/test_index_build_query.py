@@ -144,3 +144,18 @@ def test_finalize_without_segments_raises(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("nomanifest"))
     with pytest.raises(ValueError, match="manifest"):
         finalize_index(spark, d)
+
+
+def test_resume_pending_is_anti_join(spark, index):
+    """Resume selects pending docs via range predicate + broadcast
+    left-anti join against the manifest — never a shard-id literal list
+    (driver state stays O(batch), not O(corpus))."""
+    from semantic_search_engine_spark.operators.build import pending_in_range
+    from semantic_search_engine_spark.plans import audit
+
+    d, _, _ = index
+    manifest = index_store.read_manifest(spark, d).select("shard").distinct()
+    prepared = spark.range(100).selectExpr("cast(id % 6 as int) shard", "id docid")
+    plan = audit.physical_plan(pending_in_range(prepared, manifest, 0, 4))
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
+    assert "Broadcast" in plan
