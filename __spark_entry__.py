@@ -227,6 +227,16 @@ def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(_query_vec(spark, sf_dir), k=11, n_probe=8).filter(F.col("vec_id") != 0)
 
 
+def q_ann_pq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ machinery (per-segment codebooks, uint8-code table, ADC scan)
+    with exact rerank over the full ADC list — must equal brute force,
+    like ann_ivf_fullprobe proves the IVF machinery. Pruned shortlists
+    are recall-scored in scripts/recall_eval.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = similarity.PQIndex.build(emb, n_segments=8, n_codes=16, sample_cap=2000)
+    return idx.search(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, threshold=0.45)
@@ -372,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+        "ann_pq_fullprobe": q_ann_pq_fullprobe,
         "embedding_neardup": q_embedding_neardup,
         "embedding_label_centroids": q_embedding_label_centroids,
         "tpch_q1": q_tpch_q1,
@@ -496,6 +507,12 @@ FROM embeddings, q WHERE vec_id <> 0
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
 """,
         "ann_ivf_fullprobe": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
+""",
+        "ann_pq_fullprobe": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
 FROM embeddings, q WHERE vec_id <> 0

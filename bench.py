@@ -27,6 +27,41 @@ import tempfile
 import time
 
 
+def peak_mem_mb() -> dict:
+    """Peak-memory high-water marks (reference X5 analog,
+    /root/reference/src/evaluation.py:34-39). In local mode the
+    executors live inside the one JVM, so the JVM's VmHWM IS the
+    task-side peak (execution memory + JVM overhead); the driver python
+    process is reported separately."""
+    import resource
+
+    out = {
+        "driver_py_hwm_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1
+        )
+    }
+    me = str(os.getpid())
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                status = open(f"/proc/{pid}/status").read()
+                if f"\nPPid:\t{me}\n" not in status:
+                    continue
+                cmd = open(f"/proc/{pid}/cmdline").read()
+                if "java" not in cmd:
+                    continue
+                for line in status.splitlines():
+                    if line.startswith("VmHWM:"):
+                        out["jvm_hwm_mb"] = round(int(line.split()[1]) / 1024.0, 1)
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
@@ -117,6 +152,7 @@ def main() -> None:
                 "bench_docs": n_bench_docs,
                 "build_docs_per_sec": round(n_bench_docs / timings["build_index_webtext"], 1),
                 "query_p50_sec": round(timings["wand_batch"] / len(queries), 4),
+                "peak_mem_mb": peak_mem_mb(),
             }
         )
     )

@@ -5,36 +5,49 @@ Spark restatement of the reference's chunked build
 in driver RAM /root/reference/src/IVF.py:85-86; silent tail drop
 /root/reference/src/IVF.py:152-153):
 
-  corpus → mint_docids (ONE shuffle, hash(url) → shard; contiguous
-           docid range per shard)
-         → tokenize + dl as JVM columns (codegen)
-         → groupBy(shard).applyInPandas(SPIMI)   (re-uses the docid
-           shuffle's partitioning — Catalyst sees the same key)
-         → per-shard segment blocks (delta-gap varint)
-         → manifest row per shard (lineage + row/byte metrics)
+  corpus → shard = pmod(xxhash64(url), P)            (map-side)
+         → per-shard counts → exclusive prefix-sum offsets
+           (the reference's cumsum/roll CSR directory,
+           /root/reference/src/IVF.py:79-81; driver state = P longs)
+         → groupBy(shard).applyInPandas(SPIMI writer)  — the ONE
+           corpus shuffle. Inside the Arrow kernel, per shard:
+             docids  = offset + rank of url in the shard (sorted)
+             blocks  = tokenize → tf runs → delta-gap varint encode
+             segment + docmap parquet written DIRECTLY (pyarrow,
+             tmp + atomic rename), one tiny metrics row returned
+         → manifest row per shard from the returned metrics
   finalize: global df/idf from block headers (NO decode), block_max
            attach (single decode pass), dictionary + stats + postings.
 
 Scale properties:
-  * the build shuffle carries docs once; token explosion and tf
-    aggregation happen inside Arrow batches (map-side, SPIMI-style),
-    so no (term, docid) shuffle of 10^12-doc token streams — the
-    term-keyed shuffle only moves compact encoded blocks at finalize.
+  * ONE pass, ONE shuffle per batch: docid minting, tokenization, tf
+    aggregation, encoding, segment/docmap writes, and build metrics all
+    happen inside the same per-shard Arrow kernel — no corpus cache, no
+    second docmap pass, no post-hoc metrics scan, no window sort of
+    full text rows (all of which were measured serial-tail/JVM-sort
+    cost at 2→8-thread scaling).
   * head-term skew is bounded by construction: a term's postings
     within a shard ≤ shard size; shards are hash(url)-balanced. The
     per-(term, shard) runs ARE the salted sub-keys of the north_rule
     (salt = doc-shard), and global posting lists are ordered
     concatenations of runs because shard docid ranges are contiguous
-    and disjoint (see operators/docids.py).
-  * resume: manifest-recorded shards are skipped (left-anti by shard
-    id); segment moves happen before the manifest commit point.
+    and disjoint (same prefix-sum layout as operators/docids.py).
+  * kernel file writes go to a per-batch stage dir and are promoted by
+    the driver before the manifest commit point; writes are
+    tmp + os.replace so a retried task can never leave a torn file.
+    (On an object store you'd swap this for the cluster's job
+    committer; task speculation must stay off for direct writes.)
+  * resume: finished shards are skipped via a broadcast left-anti join
+    against the manifest (never a driver-side id list).
 """
 
 from __future__ import annotations
 
 import logging
 import os
+import shutil
 import time
+import uuid
 
 log = logging.getLogger(__name__)
 
@@ -45,92 +58,121 @@ from pyspark.sql import functions as F
 
 from ..functions.bm25 import idf_col, impact_np
 from ..sources import index_store
-from ..sources.index_store import POSTING_SCHEMA, SEGMENT_SCHEMA
+from ..sources.index_store import METRICS_SCHEMA, POSTING_SCHEMA, SEGMENT_SCHEMA
 from .codec import decode_blocks_batch, encode_segment_blocks
-from .docids import BUCKET_COL, mint_docids
+
+METRICS_COLS = [
+    "shard", "n_docs", "sum_dl", "n_terms", "n_blocks",
+    "n_postings", "payload_bytes", "first_docid", "last_docid",
+]
 
 
-def _spimi_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """One shard's docs → encoded posting blocks (runs inside Arrow).
+def _atomic_write(table, path: str) -> None:
+    """pyarrow parquet write via tmp + os.replace — a retried/killed
+    task can never leave a torn file at the final name."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _make_spimi_writer(stage_dir: str):
+    """Kernel factory: one shard's docs → docids, encoded posting
+    blocks, segment + docmap parquet files (written in-kernel), and a
+    single metrics row as the return value.
 
     Fully vectorized: tokenization (pandas findall, pinned tokenizer),
-    tf aggregation (factorize + lexsort + run-length), and block
-    encoding (one whole-segment varint pass sliced by byte offsets) —
-    no per-term or per-posting Python loops. Tokenizing here instead of
+    tf aggregation (factorize + lexsort + run-length), block encoding
+    (one whole-segment varint pass sliced by byte offsets) — no
+    per-term or per-posting Python loops. Tokenizing here instead of
     JVM-side avoids materializing an array<string> column (profiled
     30-60 s per 20k docs for the columnar array encode alone)."""
-    from ..functions.tokenizer import tokenize_series
 
-    shard = int(key[0])
-    cols = [
-        "shard", "term", "block_seq", "first_docid", "last_docid",
-        "n", "block_cf", "docids_bin", "tfs_bin", "dls_bin",
-        "shard_n_docs", "shard_min_docid", "shard_max_docid",
-    ]
-    if len(pdf) == 0:
-        return pd.DataFrame(columns=cols)
-    pdf = pdf.sort_values("docid")
-    tokens = tokenize_series(pdf["text"])
-    lens = tokens.str.len().to_numpy().astype(np.int64)
-    docids_rep = np.repeat(pdf["docid"].to_numpy(), lens)
-    dls_rep = np.repeat(lens, lens)  # dl of the owning doc, one per token
-    terms = (
-        np.concatenate([np.asarray(t, dtype=object) for t in tokens])
-        if lens.sum()
-        else np.empty(0, dtype=object)
-    )
-    if terms.size == 0:
-        # Every doc in this shard tokenizes to zero tokens: emit one
-        # sentinel row (term="" — impossible as a real token) carrying
-        # the shard doc stats, so manifest n_docs counts these docs
-        # independently of block production. Filtered out of the
-        # dictionary/postings at finalize.
-        return pd.DataFrame(
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        from ..functions.tokenizer import tokenize_series
+
+        shard = int(key[0])
+        if len(pdf) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in METRICS_COLS})
+        offset = int(pdf["_offset"].iloc[0])
+        order = np.argsort(pdf["url"].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        docids = offset + np.arange(len(pdf), dtype=np.int64)
+
+        _atomic_write(
+            pa.table({"docid": docids, "url": pdf["url"].to_numpy()}),
+            os.path.join(stage_dir, "docmap", f"shard={shard}", "part-0.parquet"),
+        )
+
+        tokens = tokenize_series(pdf["text"])
+        lens = tokens.str.len().to_numpy().astype(np.int64)
+        metrics = {
+            "shard": shard,
+            "n_docs": len(pdf),
+            "sum_dl": int(lens.sum()),
+            "n_terms": 0,
+            "n_blocks": 0,
+            "n_postings": 0,
+            "payload_bytes": 0,
+            "first_docid": int(docids[0]),
+            "last_docid": int(docids[-1]),
+        }
+        terms = (
+            np.concatenate([np.asarray(t, dtype=object) for t in tokens])
+            if lens.sum()
+            else np.empty(0, dtype=object)
+        )
+        if terms.size == 0:
+            # every doc tokenizes to nothing — docmap + metrics only
+            return pd.DataFrame([metrics])[METRICS_COLS]
+
+        docids_rep = np.repeat(docids, lens)
+        dls_rep = np.repeat(lens, lens)  # dl of the owning doc, one per token
+        codes, uniques = pd.factorize(terms, sort=True)
+        # tf per (term, docid): sort by (term, docid), then run-length encode
+        torder = np.lexsort((docids_rep, codes))
+        tc, dc, lc = codes[torder], docids_rep[torder], dls_rep[torder]
+        is_new = np.empty(tc.size, dtype=bool)
+        is_new[0] = True
+        np.logical_or(tc[1:] != tc[:-1], dc[1:] != dc[:-1], out=is_new[1:])
+        starts = np.flatnonzero(is_new)
+        tf = np.diff(np.concatenate([starts, [tc.size]]))
+
+        blocks = encode_segment_blocks(tc[starts], dc[starts], tf, lc[starts])
+        payload = sum(
+            len(b)
+            for col in ("docids_bin", "tfs_bin", "dls_bin")
+            for b in blocks[col]
+        )
+        seg = pa.table(
             {
-                "shard": np.array([shard], dtype=np.int32),
-                "term": np.array([""], dtype=object),
-                "block_seq": np.array([0], dtype=np.int32),
-                "first_docid": np.array([-1], dtype=np.int64),
-                "last_docid": np.array([-1], dtype=np.int64),
-                "n": np.array([0], dtype=np.int32),
-                "block_cf": np.array([0], dtype=np.int64),
-                "docids_bin": np.array([b""], dtype=object),
-                "tfs_bin": np.array([b""], dtype=object),
-                "dls_bin": np.array([b""], dtype=object),
-                "shard_n_docs": np.int64(len(pdf)),
-                "shard_min_docid": np.int64(pdf["docid"].iloc[0]),
-                "shard_max_docid": np.int64(pdf["docid"].iloc[-1]),
+                "term": pa.array(
+                    np.asarray(uniques, dtype=object)[blocks["term_id"]], type=pa.string()
+                ),
+                "block_seq": pa.array(blocks["block_seq"].astype(np.int32), type=pa.int32()),
+                "first_docid": pa.array(blocks["first_docid"].astype(np.int64), type=pa.int64()),
+                "last_docid": pa.array(blocks["last_docid"].astype(np.int64), type=pa.int64()),
+                "n": pa.array(blocks["n"].astype(np.int32), type=pa.int32()),
+                "block_cf": pa.array(blocks["block_cf"].astype(np.int64), type=pa.int64()),
+                "docids_bin": pa.array(list(blocks["docids_bin"]), type=pa.binary()),
+                "tfs_bin": pa.array(list(blocks["tfs_bin"]), type=pa.binary()),
+                "dls_bin": pa.array(list(blocks["dls_bin"]), type=pa.binary()),
             }
         )
-    codes, uniques = pd.factorize(terms, sort=True)
-    # tf per (term, docid): sort by (term, docid), then run-length encode
-    order = np.lexsort((docids_rep, codes))
-    tc, dc, lc = codes[order], docids_rep[order], dls_rep[order]
-    is_new = np.empty(tc.size, dtype=bool)
-    is_new[0] = True
-    np.logical_or(tc[1:] != tc[:-1], dc[1:] != dc[:-1], out=is_new[1:])
-    starts = np.flatnonzero(is_new)
-    tf = np.diff(np.concatenate([starts, [tc.size]]))
+        _atomic_write(seg, os.path.join(stage_dir, "segments", f"shard={shard}", "part-0.parquet"))
+        metrics.update(
+            n_terms=int(len(uniques)),
+            n_blocks=int(blocks["n"].size),
+            n_postings=int(starts.size),
+            payload_bytes=int(payload),
+        )
+        return pd.DataFrame([metrics])[METRICS_COLS]
 
-    blocks = encode_segment_blocks(tc[starts], dc[starts], tf, lc[starts])
-    out = pd.DataFrame(
-        {
-            "shard": np.full(blocks["term_id"].size, shard, dtype=np.int32),
-            "term": np.asarray(uniques, dtype=object)[blocks["term_id"]],
-            "block_seq": blocks["block_seq"].astype(np.int32),
-            "first_docid": blocks["first_docid"],
-            "last_docid": blocks["last_docid"],
-            "n": blocks["n"].astype(np.int32),
-            "block_cf": blocks["block_cf"],
-            "docids_bin": blocks["docids_bin"],
-            "tfs_bin": blocks["tfs_bin"],
-            "dls_bin": blocks["dls_bin"],
-            "shard_n_docs": np.int64(len(pdf)),
-            "shard_min_docid": np.int64(pdf["docid"].iloc[0]),
-            "shard_max_docid": np.int64(pdf["docid"].iloc[-1]),
-        }
-    )
-    return out
+    return kernel
 
 
 DOCS_PER_SHARD = int(os.environ.get("SSSE_DOCS_PER_SHARD", 15_000))
@@ -176,11 +218,17 @@ def build_segments(
     indistinguishable from a killed one. Returns #shards built this run.
     """
     spark = docs.sparkSession
+    timing = os.environ.get("SSSE_TIMING") == "1"
+    t0 = time.perf_counter()
     if num_shards is None:
         num_shards = auto_num_shards(docs)
     if batch_shards is None:
         batch_shards = num_shards  # single batch by default
     os.makedirs(index_dir, exist_ok=True)
+    # leftover stage dirs from a killed run are pre-commit garbage
+    for name in os.listdir(index_dir):
+        if name.startswith("_stage_"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
     # Resume state stays a DataFrame: batches are contiguous shard
     # RANGES (a 2-value predicate, never a shard-id literal list), and
@@ -193,17 +241,28 @@ def build_segments(
         return 0
     finished_df = manifest.select("shard").distinct() if manifest is not None else None
 
-    minted = mint_docids(docs, url_col=url_col, num_buckets=num_shards).withColumnRenamed(
-        BUCKET_COL, "shard"
+    prepared = docs.select(
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)).cast("int").alias("shard"),
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("text"),
     )
-    # No token/dl computation JVM-side: dl is derived inside the SPIMI
-    # kernel and per-shard sum_dl falls out of sum(block_cf) for free.
-    prepared = minted.select("shard", "docid", url_col, F.col(text_col).alias("text"))
+    # per-shard counts → exclusive prefix-sum docid offsets (A2/W1:
+    # the CSR-directory analog; driver state = num_shards longs)
+    counts = {
+        r["shard"]: r["n"]
+        for r in prepared.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    offset_rows, acc = [], 0
+    for s in range(num_shards):
+        offset_rows.append((s, acc))
+        acc += counts.get(s, 0)
+    offset_df = spark.createDataFrame(offset_rows, "shard int, _offset long")
+    if timing:
+        print(f"[build] shards+offsets {time.perf_counter() - t0:.1f}s")
 
     built = 0
     processed = 0
     ranges = [(lo, min(lo + batch_shards, num_shards)) for lo in range(0, num_shards, batch_shards)]
-    timing = os.environ.get("SSSE_TIMING") == "1"
     for lo, hi in ranges:
         if max_batches is not None and processed >= max_batches:
             break
@@ -220,43 +279,25 @@ def build_segments(
             continue
         processed += 1
         t0 = time.perf_counter()
-        part = pending_in_range(prepared, finished_df if done else None, lo, hi).cache()
-        seg = part.groupBy("shard").applyInPandas(_spimi_segment, SEGMENT_SCHEMA)
-        batch_id = index_store.write_segment_batch(seg, index_dir, batch)
-        if timing:
-            print(f"[build] segments batch={len(batch)} {time.perf_counter() - t0:.1f}s")
-            t0 = time.perf_counter()
-        # docmap for this batch (stage+move like segments)
-        _write_docmap_batch(
-            part.select("docid", F.col(url_col).alias("url"), "shard"), index_dir, batch
-        )
-        # manifest metrics in ONE pass over the written blocks: the
-        # SPIMI kernel embeds shard doc stats in every block row and
-        # sum_dl == sum(block_cf) since Σ_t tf(t,d) = dl
-        seg_written = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
-            F.col("shard").isin(batch)
-        )
-        is_block = F.col("term") != ""  # exclude empty-shard sentinel rows
-        blockside = {
-            r["shard"]: r
-            for r in seg_written.groupBy("shard")
-            .agg(
-                F.countDistinct(F.when(is_block, F.col("term"))).alias("n_terms"),
-                F.sum(is_block.cast("long")).alias("n_blocks"),
-                F.sum("n").alias("n_postings"),
-                F.sum("block_cf").alias("sum_dl"),
-                F.first("shard_n_docs").alias("n_docs"),
-                F.first("shard_min_docid").alias("first_docid"),
-                F.first("shard_max_docid").alias("last_docid"),
-                F.sum(
-                    F.length("docids_bin") + F.length("tfs_bin") + F.length("dls_bin")
-                ).alias("payload_bytes"),
-            )
+        batch_id = uuid.uuid4().hex[:12]
+        stage = os.path.join(index_dir, f"_stage_{batch_id}")
+        part = pending_in_range(prepared, finished_df if done else None, lo, hi)
+        met = (
+            part.join(F.broadcast(offset_df), "shard")
+            .groupBy("shard")
+            .applyInPandas(_make_spimi_writer(stage), METRICS_SCHEMA)
             .collect()
-        }
+        )
+        if timing:
+            print(f"[build] spimi+write batch={len(batch)} {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+        # promote staged shard dirs, THEN commit the manifest row —
+        # a kill between the two is rebuilt+overwritten on resume
+        index_store.promote_staged(stage, index_dir, ("segments", "docmap"), batch)
+        byshard = {int(r["shard"]): r for r in met}
         rows = []
         for s in batch:
-            b = blockside.get(s)
+            b = byshard.get(s)
             rows.append(
                 {
                     "shard": s,
@@ -272,29 +313,10 @@ def build_segments(
                 }
             )
         index_store.append_manifest(spark, index_dir, rows)
-        part.unpersist()
         built += len(batch)
         if timing:
-            print(f"[build] docmap+metrics+manifest {time.perf_counter() - t0:.1f}s")
+            print(f"[build] promote+manifest {time.perf_counter() - t0:.1f}s")
     return built
-
-
-def _write_docmap_batch(df: DataFrame, index_dir: str, shards: list[int]) -> None:
-    import shutil
-    import uuid
-
-    stage = os.path.join(index_dir, f"_stage_docmap_{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").partitionBy("shard").parquet(stage)
-    root = os.path.join(index_dir, "docmap")
-    os.makedirs(root, exist_ok=True)
-    for s in shards:
-        src, dst = os.path.join(stage, f"shard={s}"), os.path.join(root, f"shard={s}")
-        if not os.path.isdir(src):
-            continue
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.rename(src, dst)
-    shutil.rmtree(stage, ignore_errors=True)
 
 
 def finalize_index(spark: SparkSession, index_dir: str) -> dict:
@@ -302,6 +324,8 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     (no payload decode), then a single decode pass to attach block_max,
     writing postings sorted by (term, block_seq) within each shard so
     parquet min/max stats prune term lookups."""
+    timing = os.environ.get("SSSE_TIMING") == "1"
+    t0 = time.perf_counter()
     manifest = index_store.read_manifest(spark, index_dir)
     if manifest is None:
         raise ValueError(
@@ -316,9 +340,12 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         raise ValueError(f"index at {index_dir!r} recorded 0 documents — nothing to finalize")
     avgdl = total_tokens / n_docs
 
-    # sentinel rows (term="") carry doc stats for blockless shards; they
-    # are manifest-only bookkeeping, never dictionary/posting entries
-    segs = index_store.read_segments(spark, index_dir).filter(F.col("term") != "")
+    seg_dir = os.path.join(index_dir, "segments")
+    if os.path.isdir(seg_dir) and any(e.startswith("shard=") for e in os.listdir(seg_dir)):
+        segs = index_store.read_segments(spark, index_dir)
+    else:
+        # corpus built, but zero postings (every doc tokenized empty)
+        segs = spark.createDataFrame([], SEGMENT_SCHEMA)
     dictionary = (
         segs.groupBy("term")
         .agg(F.sum("n").alias("df"), F.sum("block_cf").alias("cf"), F.count("*").alias("n_blocks"))
@@ -326,6 +353,9 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     )
     dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
     dict_df = index_store.read_dictionary(spark, index_dir)
+    if timing:
+        print(f"[finalize] stats+dictionary {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
 
     joined = segs.join(dict_df.select("term", "idf"), "term")
 
@@ -357,6 +387,8 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         .partitionBy("shard")
         .parquet(os.path.join(index_dir, "postings"))
     )
+    if timing:
+        print(f"[finalize] block_max+postings {time.perf_counter() - t0:.1f}s")
     stats = {
         "n_docs": n_docs,
         "avgdl": float(avgdl),

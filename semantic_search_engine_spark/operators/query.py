@@ -149,12 +149,22 @@ def _score_candidates(cands: np.ndarray, per_term: dict, idf_map, avgdl) -> np.n
     return total
 
 
-def search_index_wand(reader: IndexReader, queries: list[dict]) -> DataFrame:
+def search_index_wand(
+    reader: IndexReader, queries: list[dict], theta_factor: float = 1.0
+) -> DataFrame:
     """(qid, rank, docid, score) via per-shard block-max pruning.
 
     One applyInPandas group per shard (not per (qid, shard)) — the
     whole query batch runs against each shard with a shared decoded-
-    block cache, amortizing group/UDF overhead across queries."""
+    block cache, amortizing group/UDF overhead across queries.
+
+    ``theta_factor`` > 1 inflates the pruning threshold θ — blocks are
+    kept only if bound ≥ θ·factor — trading recall for fewer decodes
+    (the analog of the reference's n_probe < n_clusters approximate
+    mode, /root/reference/src/IVF.py:12-20). 1.0 (default) is EXACT:
+    the bound argument in the module docstring guarantees no true
+    top-k doc is pruned. Approximate recall is measured in
+    scripts/recall_eval.py."""
     spark = reader.spark
     plan, terms = _query_plan(queries)
     idf_map = reader.idf_map(terms)
@@ -235,7 +245,10 @@ def search_index_wand(reader: IndexReader, queries: list[dict]) -> DataFrame:
             theta = float(np.sort(seed_scores)[-k]) if seed_scores.size >= k else float("-inf")
 
             bounds = bm[q_pos] + (sig_sum - np.array([sigma[t] for t in terms_arr[q_pos]]))
-            kept = q_pos[bounds >= theta]
+            # BM25 impacts are positive, so θ>0 whenever seeded; guard
+            # anyway so factor>1 never LOWERS a non-positive threshold
+            thr = theta * theta_factor if theta > 0 else theta
+            kept = q_pos[bounds >= thr]
             if kept.size == 0:
                 continue
             cands = np.unique(np.concatenate([dec(int(i))[0] for i in kept]))

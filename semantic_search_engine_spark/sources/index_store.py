@@ -32,10 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 SEGMENT_SCHEMA = (
     "shard int, term string, block_seq int, first_docid long, last_docid long, "
-    "n int, block_cf long, docids_bin binary, tfs_bin binary, dls_bin binary, "
-    # shard-level doc metrics, constant per shard — emitted by the SPIMI
-    # kernel so manifest metrics need no extra pass over the corpus
-    "shard_n_docs long, shard_min_docid long, shard_max_docid long"
+    "n int, block_cf long, docids_bin binary, tfs_bin binary, dls_bin binary"
+)
+# per-shard build metrics returned by the SPIMI kernel (manifest row
+# minus batch_id) — no extra pass over corpus or segments needed
+METRICS_SCHEMA = (
+    "shard int, n_docs long, sum_dl long, n_terms long, n_blocks long, "
+    "n_postings long, payload_bytes long, first_docid long, last_docid long"
 )
 POSTING_SCHEMA = (
     "shard int, term string, block_seq int, first_docid long, last_docid long, "
@@ -71,25 +74,24 @@ def finished_shards(spark: SparkSession, index_dir: str) -> set[int]:
     return {r["shard"] for r in m.select("shard").collect()}
 
 
-def write_segment_batch(batch_df: DataFrame, index_dir: str, shards: list[int]) -> str:
-    """Write one batch of shard segments atomically-enough for resume:
-    stage → per-shard dir move → manifest file write (the commit point).
-    Returns the batch id."""
-    batch_id = uuid.uuid4().hex[:12]
-    stage = _p(index_dir, f"_stage_{batch_id}")
-    batch_df.write.mode("overwrite").partitionBy("shard").parquet(stage)
-    seg_root = _p(index_dir, "segments")
-    os.makedirs(seg_root, exist_ok=True)
-    for shard in shards:
-        src = os.path.join(stage, f"shard={shard}")
-        dst = os.path.join(seg_root, f"shard={shard}")
-        if not os.path.isdir(src):
-            continue  # shard had zero docs
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)  # unrecorded leftover from a crashed batch
-        os.rename(src, dst)
+def promote_staged(
+    stage: str, index_dir: str, subdirs: tuple[str, ...], shards: list[int]
+) -> None:
+    """Move kernel-staged per-shard dirs into place — the step before
+    the manifest commit point. A kill mid-promote leaves unrecorded
+    shard dirs that resume rebuilds and overwrites."""
+    for sub in subdirs:
+        root = _p(index_dir, sub)
+        for shard in shards:
+            src = os.path.join(stage, sub, f"shard={shard}")
+            dst = os.path.join(root, f"shard={shard}")
+            if not os.path.isdir(src):
+                continue  # shard had zero docs (or zero postings)
+            os.makedirs(root, exist_ok=True)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # unrecorded leftover from a crashed batch
+            os.rename(src, dst)
     shutil.rmtree(stage, ignore_errors=True)
-    return batch_id
 
 
 def append_manifest(spark: SparkSession, index_dir: str, rows: list[dict]) -> None:

@@ -185,3 +185,28 @@ def test_ngram_jaccard_hot_shingle_guard(spark):
     got = set(zip(capped["id_a"], capped["id_b"]))
     assert (100, 101) in got          # real near-dup survives
     assert not {p for p in got if p[1] < 100}  # skew pairs dropped
+
+
+def test_pq_fullprobe_equals_bruteforce(emb):
+    """ADC over the full list + exact rerank == brute force (the PQ
+    analog of ann_ivf_fullprobe)."""
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    idx = similarity.PQIndex.build(df, n_segments=4, n_codes=8, sample_cap=300)
+    got = idx.search(df, q, k=6).toPandas()
+    want = similarity.cosine_topk(df, q, k=6).toPandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert np.allclose(got["cos"], want["cos"])
+
+
+def test_pq_adc_shortlist_recall(emb):
+    """Pruned ADC shortlist (40 of 300) keeps the planted neighbor and
+    most of the true top-5."""
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    idx = similarity.PQIndex.build(df, n_segments=4, n_codes=8, sample_cap=300)
+    got = idx.search(df, q, k=5, shortlist=40).toPandas()
+    ids = set(got["vec_id"])
+    assert 3 in ids and 7 in ids
+    want = set(similarity.cosine_topk(df, q, k=5).toPandas()["vec_id"])
+    assert len(ids & want) / 5 >= 0.6
