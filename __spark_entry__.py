@@ -106,8 +106,6 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same answer as q_bm25_topk but served from the on-disk index via
     the block-max pruned path — proves codec+build+WAND against DuckDB."""
     from semantic_search_engine_spark.operators.build import build_index
-    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
-    from semantic_search_engine_spark.sources.index_store import read_docmap
 
     key = os.path.abspath(sf_dir)
     if key not in _WAND_CACHE:
@@ -115,13 +113,21 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
         build_index(docs, d, num_shards=8)
         _WAND_CACHE[key] = d
-    d = _WAND_CACHE[key]
+    return _serve_wand(spark, _WAND_CACHE[key])
+
+
+def _serve_wand(spark: SparkSession, d: str) -> DataFrame:
+    """WAND top-k from an on-disk index, mapped back to external ids.
+
+    Fetch k+10 then RE-RANK on (score desc, doc_id asc) after the
+    docmap join: the engine's internal rank breaks ties by minted
+    docid ((hash bucket, url) order), which differs from doc_id order.
+    Equal BM25 scores require identical (tf vector, dl) — duplicate
+    texts — so a 10-row margin covers any tie run at the k boundary."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
     reader = IndexReader(spark, d)
-    # Fetch k+10 then RE-RANK on (score desc, doc_id asc) after the
-    # docmap join: the engine's internal rank breaks ties by minted
-    # docid ((hash bucket, url) order), which differs from doc_id order.
-    # Equal BM25 scores require identical (tf vector, dl) — duplicate
-    # texts — so a 10-row margin covers any tie run at the k boundary.
     res = search_index_wand(reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K + 10}])
     docmap = read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
     return (
@@ -130,6 +136,62 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_K)
         .select("doc_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def q_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM append: build on the even-id half, append_index the odd-id
+    half (fresh shard+docid generation, finalize = compaction), serve
+    the same WAND query — must hash-match the all-at-once oracle."""
+    from semantic_search_engine_spark.operators.build import append_index, build_index
+
+    key = f"incr:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        d = tempfile.mkdtemp(prefix="ssse_incr_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        build_index(docs.filter(F.col("url") % 2 == 0), d, num_shards=4)
+        append_index(docs.filter(F.col("url") % 2 == 1), d, num_shards=4)
+        _WAND_CACHE[key] = d
+    return _serve_wand(spark, _WAND_CACHE[key])
+
+
+def q_bm25_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval: only docs containing every distinct
+    query term — posting intersection as a countDistinct group-guard."""
+    from semantic_search_engine_spark.operators.topk import search_conjunctive
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+    stats = corpus_stats(docs)
+    postings = term_frequencies(docs)
+    scored = scored_postings(postings, doc_freq(postings), stats)
+    res = search_conjunctive(scored, BM25_QUERY, BM25_K).withColumnRenamed("docid", "doc_id")
+    return res.select(
+        "doc_id",
+        F.row_number().over(_rank_window()).alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_conjunctive_oracle(k: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = (SELECT count(DISTINCT term) FROM q)
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
 
 
 def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
+        "bm25_incremental_topk": q_bm25_incremental_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
         "token_counts": q_token_counts,
@@ -437,6 +501,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
+        "bm25_conjunctive_topk": _bm25_conjunctive_oracle(BM25_K),
+        "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1 ORDER BY df DESC, term LIMIT 30

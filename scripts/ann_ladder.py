@@ -79,6 +79,11 @@ def main() -> None:
         p50 = lats[len(lats) // 2]
         recall = hits / (K * n_queries)
 
+        ivf.search_batch(queries[:2], k=K, n_probe=n_probe).collect()  # warm
+        t0 = time.time()
+        ivf.search_batch(queries, k=K, n_probe=n_probe).collect()
+        batch_s = (time.time() - t0) / n_queries
+
         t0 = time.time()
         similarity.cosine_topk(emb, queries[0], k=K).collect()
         brute_s = time.time() - t0
@@ -86,11 +91,11 @@ def main() -> None:
             {
                 "n": n, "clusters": clusters, "n_probe": n_probe,
                 "gen_s": round(gen_s, 1), "build_s": round(build_s, 1),
-                "p50_s": round(p50, 4), "brute_s": round(brute_s, 3),
+                "p50_s": round(p50, 4), "batch_per_q_s": round(batch_s, 4), "brute_s": round(brute_s, 3),
                 "recall_at_5": round(recall, 3), "ref_p50_s": ref_lat,
             }
         )
-        print(f"n={n:,}: build {build_s:.1f}s  p50 {p50*1000:.0f}ms  "
+        print(f"n={n:,}: build {build_s:.1f}s  p50 {p50*1000:.0f}ms  batch {batch_s*1000:.0f}ms/q  "
               f"recall@5 {recall:.3f}  brute {brute_s*1000:.0f}ms  (ref {ref_lat}s)")
         ivf.assigned.unpersist()
         emb.unpersist()
@@ -103,13 +108,13 @@ def main() -> None:
         "same workload shape, seeded 64-d vectors, this sandbox, "
         f"local[{cpus}].",
         "",
-        "| rows | clusters | n_probe | IVF build (s) | p50/query (s) | recall@5 | brute/query (s) | reference p50 (s) |",
-        "|---|---|---|---|---|---|---|---|",
+        "| rows | clusters | n_probe | IVF build (s) | p50/query (s) | batched /query (s) | recall@5 | brute/query (s) | reference p50 (s) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         md.append(
             f"| {r['n']:,} | {r['clusters']} | {r['n_probe']} | {r['build_s']} "
-            f"| {r['p50_s']} | {r['recall_at_5']} | {r['brute_s']} | {r['ref_p50_s']} |"
+            f"| {r['p50_s']} | {r['batch_per_q_s']} | {r['recall_at_5']} | {r['brute_s']} | {r['ref_p50_s']} |"
         )
     md += [
         "",

@@ -85,10 +85,14 @@ def _gen_batches(it: Iterator[pd.DataFrame], seed: int) -> Iterator[pd.DataFrame
         yield out
 
 
-def generate_webtext(spark, n_docs: int, seed: int = SEED, num_partitions: int | None = None):
-    """Distributed deterministic corpus of ``n_docs`` pages."""
+def generate_webtext(
+    spark, n_docs: int, seed: int = SEED, num_partitions: int | None = None, start: int = 0
+):
+    """Distributed deterministic corpus of pages ``start .. start+n_docs``
+    (row content is a pure function of the absolute doc index, so
+    disjoint ranges union to exactly the full corpus)."""
     num_partitions = num_partitions or max(1, min(n_docs // 250, 256))
-    base = spark.range(0, n_docs, 1, num_partitions)
+    base = spark.range(start, start + n_docs, 1, num_partitions)
     return base.mapInPandas(lambda it: _gen_batches(it, seed), schema=SCHEMA)
 
 

@@ -211,11 +211,15 @@ def build_segments(
     text_col: str = "text",
     url_col: str = "url",
     max_batches: int | None = None,
+    shard_base: int = 0,
+    docid_base: int = 0,
 ) -> int:
     """Build (or resume) per-shard segments + docmap + manifest.
 
     ``max_batches`` exists for the kill/resume test — a bounded run is
-    indistinguishable from a killed one. Returns #shards built this run.
+    indistinguishable from a killed one. ``shard_base``/``docid_base``
+    place this corpus as an LSM generation after existing shards (see
+    :func:`append_index`). Returns #shards built this run.
     """
     spark = docs.sparkSession
     timing = os.environ.get("SSSE_TIMING") == "1"
@@ -230,6 +234,9 @@ def build_segments(
         if name.startswith("_stage_"):
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
+    lo_all, hi_all = shard_base, shard_base + num_shards
+    gen_range = (F.col("shard") >= lo_all) & (F.col("shard") < hi_all)
+
     # Resume state stays a DataFrame: batches are contiguous shard
     # RANGES (a 2-value predicate, never a shard-id literal list), and
     # finished shards are dropped with a broadcast left-anti join against
@@ -237,12 +244,16 @@ def build_segments(
     # not by the corpus (at 100 TB the manifest has ~10^6 rows; only the
     # active range's ids are ever collected).
     manifest = index_store.read_manifest(spark, index_dir)
-    if manifest is not None and manifest.select("shard").distinct().count() >= num_shards:
+    if manifest is not None and (
+        manifest.filter(gen_range).select("shard").distinct().count() >= num_shards
+    ):
         return 0
     finished_df = manifest.select("shard").distinct() if manifest is not None else None
 
     prepared = docs.select(
-        F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)).cast("int").alias("shard"),
+        (F.lit(shard_base) + F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)))
+        .cast("int")
+        .alias("shard"),
         F.col(url_col).alias("url"),
         F.col(text_col).alias("text"),
     )
@@ -252,8 +263,8 @@ def build_segments(
         r["shard"]: r["n"]
         for r in prepared.groupBy("shard").agg(F.count("*").alias("n")).collect()
     }
-    offset_rows, acc = [], 0
-    for s in range(num_shards):
+    offset_rows, acc = [], docid_base
+    for s in range(lo_all, hi_all):
         offset_rows.append((s, acc))
         acc += counts.get(s, 0)
     offset_df = spark.createDataFrame(offset_rows, "shard int, _offset long")
@@ -262,7 +273,7 @@ def build_segments(
 
     built = 0
     processed = 0
-    ranges = [(lo, min(lo + batch_shards, num_shards)) for lo in range(0, num_shards, batch_shards)]
+    ranges = [(lo, min(lo + batch_shards, hi_all)) for lo in range(lo_all, hi_all, batch_shards)]
     for lo, hi in ranges:
         if max_batches is not None and processed >= max_batches:
             break
@@ -413,3 +424,71 @@ def build_index(
     """Full pipeline: segments (resumable) + finalize. Returns stats."""
     build_segments(docs, index_dir, num_shards, batch_shards, text_col, url_col)
     return finalize_index(docs.sparkSession, index_dir)
+
+
+def append_index(
+    docs: DataFrame,
+    index_dir: str,
+    num_shards: int | None = None,
+    batch_shards: int | None = None,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> dict:
+    """LSM append: ingest a new corpus generation into an existing
+    index. The generation gets the next contiguous shard range and
+    docid range (so global posting lists remain ordered concatenations
+    of per-shard runs), its segments build exactly like a base build
+    (resumable per batch), and :func:`finalize_index` is the compaction
+    step — global df/idf and block_max are recomputed over all
+    generations' segments, which is what makes appended and
+    built-at-once indexes answer queries identically.
+
+    Bookkeeping: ``generations.jsonl`` records (shard_base, docid_base,
+    num_shards) BEFORE the generation's first batch commits, so a
+    killed append re-run with the same docs resumes with the same bases
+    instead of allocating a duplicate range. Appends are sequential;
+    url uniqueness across generations is the caller's contract (same as
+    within one build).
+    """
+    spark = docs.sparkSession
+    manifest = index_store.read_manifest(spark, index_dir)
+    if manifest is None:
+        raise ValueError("append_index needs an existing index — run build_index first")
+    if num_shards is None:
+        num_shards = auto_num_shards(docs)
+
+    gens = index_store.read_generations(index_dir)
+    gen = None
+    if gens:
+        last = gens[-1]
+        done = (
+            manifest.filter(
+                (F.col("shard") >= last["shard_base"])
+                & (F.col("shard") < last["shard_base"] + last["num_shards"])
+            )
+            .select("shard").distinct().count()
+        )
+        if done < last["num_shards"]:  # killed append: resume it
+            if last["num_shards"] != num_shards:
+                raise ValueError(
+                    "unfinished generation with a different shard count — "
+                    "re-run append_index with the same docs/num_shards to resume"
+                )
+            gen = last
+    if gen is None:
+        agg = manifest.agg(
+            F.max("last_docid").alias("d"), F.max("shard").alias("s")
+        ).collect()[0]
+        gen = {
+            "shard_base": int(agg["s"]) + 1,
+            "docid_base": int(agg["d"]) + 1,
+            "num_shards": int(num_shards),
+        }
+        index_store.append_generation(index_dir, gen)
+
+    build_segments(
+        docs, index_dir, num_shards=gen["num_shards"], batch_shards=batch_shards,
+        text_col=text_col, url_col=url_col,
+        shard_base=gen["shard_base"], docid_base=gen["docid_base"],
+    )
+    return finalize_index(spark, index_dir)

@@ -135,6 +135,51 @@ class IVFIndex:
             .limit(k)
         )
 
+    def search_batch(
+        self, queries: list[list[float]], k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """(qid, vec_id, cos, rank) for a whole query batch in ONE job —
+        the serving shape at scale (amortizes job scheduling and shares
+        the bucket scan across queries, like the WAND batch path).
+
+        Plan: per-query probe buckets → tiny (qid, bucket) broadcast
+        join against the bucketed table (each row replicated only for
+        queries probing its bucket) → one Arrow-batched NumPy matmul
+        scores every (row, qid) pair → per-qid top-k window."""
+        from pyspark.sql import Window
+
+        qm = np.asarray(queries, dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        probes = np.argsort(qn @ cn.T, axis=1)[:, -n_probe:]
+        pairs = [(int(qi), int(b)) for qi in range(len(queries)) for b in probes[qi]]
+        spark = self.assigned.sparkSession
+        probe_df = spark.createDataFrame(pairs, "qid int, bucket int")
+        cand = self.assigned.join(F.broadcast(probe_df), "bucket")
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                qi = pdf["qid"].to_numpy()
+                cos = np.einsum("ij,ij->i", mn, qn[qi])
+                yield pd.DataFrame(
+                    {"qid": qi, "vid": pdf[id_col].to_numpy(), "cos": np.round(cos, 6)}
+                )
+
+        scored = cand.mapInPandas(score, "qid int, vid long, cos double").withColumnRenamed(
+            "vid", id_col
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc(id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", id_col, "cos", "rank")
+        )
+
 
 # ---------------------------------------------------------------- PQ
 

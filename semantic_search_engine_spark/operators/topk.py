@@ -49,6 +49,27 @@ def search(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
     )
 
 
+def search_conjunctive(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Conjunctive (AND) top-k: only docs containing EVERY distinct
+    query term score (intersection semantics). Pinned: a query with any
+    zero-df term returns 0 rows. Plan: same broadcast term filter +
+    partial agg as the disjunctive path, plus a countDistinct(term)
+    guard — the posting intersection is the group-filter, no extra
+    join or shuffle."""
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        return scored.sparkSession.createDataFrame([], "docid long, score double")
+    return (
+        scored.filter(F.col("term").isin(terms))
+        .groupBy("docid")
+        .agg(F.sum("impact").alias("score"), F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(terms))
+        .select("docid", "score")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
 def search_batch(scored: DataFrame, queries_df: DataFrame) -> DataFrame:
     """Batched serving: (qid, k, term) ⋈ postings → per-qid top-k.
 

@@ -105,6 +105,25 @@ def append_manifest(spark: SparkSession, index_dir: str, rows: list[dict]) -> No
     df.coalesce(1).write.mode("append").parquet(d)
 
 
+def read_generations(index_dir: str) -> list[dict]:
+    """LSM generation log (append_index bookkeeping): one JSON line per
+    appended corpus generation, written before its first batch."""
+    import json
+
+    p = _p(index_dir, "generations.jsonl")
+    if not os.path.isfile(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def append_generation(index_dir: str, rec: dict) -> None:
+    import json
+
+    with open(_p(index_dir, "generations.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(_p(index_dir, "segments"))
 

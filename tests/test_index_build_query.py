@@ -159,3 +159,55 @@ def test_resume_pending_is_anti_join(spark, index):
     plan = audit.physical_plan(pending_in_range(prepared, manifest, 0, 4))
     assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_append_matches_full_build(spark, tmp_path_factory, index):
+    """LSM append: build half, append_index the other half — queries
+    must be url/score-identical to the all-at-once index (finalize is
+    the compaction that recomputes global df/idf + block_max)."""
+    from semantic_search_engine_spark.operators.build import append_index
+
+    d_full, _, _ = index
+    d = str(tmp_path_factory.mktemp("index_append"))
+    build_index(generate_webtext(spark, N_DOCS // 2), d, num_shards=3)
+    stats = append_index(
+        generate_webtext(spark, N_DOCS // 2, start=N_DOCS // 2), d, num_shards=3
+    )
+    assert stats["n_docs"] == N_DOCS
+    queries = generate_queries()[:10]
+
+    def by_url(idx_dir):
+        res = search_index_wand(IndexReader(spark, idx_dir), queries)
+        dm = index_store.read_docmap(spark, idx_dir).select("docid", "url")
+        return (
+            res.join(dm, "docid")
+            .select("qid", "rank", "url", "score")
+            .orderBy("qid", "rank")
+            .toPandas()
+        )
+
+    a, b = by_url(d_full), by_url(d)
+    assert (a["url"].values == b["url"].values).all()
+    assert (a["score"].values == b["score"].values).all()
+
+
+def test_append_kill_resume(spark, tmp_path_factory):
+    """A killed append (bounded batches) resumes with the SAME
+    shard/docid generation instead of allocating a duplicate range."""
+    from semantic_search_engine_spark.operators.build import append_index, build_segments
+
+    d = str(tmp_path_factory.mktemp("index_append_kill"))
+    build_index(generate_webtext(spark, 300), d, num_shards=2)
+    second = generate_webtext(spark, 300, start=300)
+    # simulate append_index dying after 1 of 2 batches
+    gen = {"shard_base": 2, "docid_base": 300, "num_shards": 2}
+    index_store.append_generation(d, gen)
+    built = build_segments(second, d, num_shards=2, batch_shards=1, max_batches=1,
+                           shard_base=2, docid_base=300)
+    assert built == 1
+    stats = append_index(second, d, num_shards=2)  # resumes gen, no new range
+    assert stats["n_docs"] == 600
+    assert len(index_store.read_generations(d)) == 1
+    m = index_store.read_manifest(spark, d).toPandas()
+    assert sorted(m["shard"]) == [0, 1, 2, 3]
+    assert m["n_docs"].sum() == 600

@@ -210,3 +210,16 @@ def test_pq_adc_shortlist_recall(emb):
     assert 3 in ids and 7 in ids
     want = set(similarity.cosine_topk(df, q, k=5).toPandas()["vec_id"])
     assert len(ids & want) / 5 >= 0.6
+
+
+def test_ivf_search_batch_matches_single(emb):
+    """One-job batched IVF serving returns exactly the per-query answers."""
+    df, m = emb
+    idx = similarity.IVFIndex.build(df, n_clusters=6, sample_cap=300)
+    queries = [[float(x) for x in m[i]] for i in (3, 10, 20)]
+    batch = idx.search_batch(queries, k=5, n_probe=3).toPandas()
+    for qi, q in enumerate(queries):
+        single = idx.search(q, k=5, n_probe=3).toPandas()
+        got = batch[batch["qid"] == qi].sort_values("rank")
+        assert list(got["vec_id"]) == list(single["vec_id"])
+        assert np.allclose(got["cos"].to_numpy(), single["cos"].to_numpy())
