@@ -426,6 +426,83 @@ def build_index(
     return finalize_index(docs.sparkSession, index_dir)
 
 
+def ingest_generation(
+    docs: DataFrame,
+    index_dir: str,
+    num_shards: int | None = None,
+    batch_shards: int | None = None,
+    text_col: str = "text",
+    url_col: str = "url",
+    tag: str | None = None,
+    finalize: bool = True,
+) -> dict | None:
+    """Allocate-or-resume one LSM generation for ``docs`` and build its
+    segments; optionally finalize (the compaction pass).
+
+    Generation protocol: ``generations.jsonl`` records (shard_base,
+    docid_base, num_shards[, tag]) BEFORE the generation's first batch
+    commits, so a killed ingest re-run with the same docs resumes with
+    the same bases instead of allocating a duplicate range. ``tag``
+    makes ingestion idempotent per tag: a COMPLETE generation with the
+    same tag is skipped entirely — the replay protection Structured
+    Streaming's foreachBatch needs (streaming/ingest.py). Ingests are
+    sequential; url uniqueness across generations is the caller's
+    contract (same as within one build)."""
+    spark = docs.sparkSession
+    if num_shards is None:
+        num_shards = auto_num_shards(docs)
+    os.makedirs(index_dir, exist_ok=True)
+    manifest = index_store.read_manifest(spark, index_dir)
+    gens = index_store.read_generations(index_dir)
+
+    def complete(g: dict) -> bool:
+        if manifest is None:
+            return False
+        rng = (F.col("shard") >= g["shard_base"]) & (
+            F.col("shard") < g["shard_base"] + g["num_shards"]
+        )
+        return manifest.filter(rng).select("shard").distinct().count() >= g["num_shards"]
+
+    gen = None
+    if tag is not None:
+        tagged = [g for g in gens if g.get("tag") == tag]
+        if tagged:
+            g = tagged[-1]
+            if complete(g):  # replayed micro-batch: already ingested
+                return finalize_index(spark, index_dir) if finalize else None
+            gen = g
+    elif gens and not complete(gens[-1]):
+        gen = gens[-1]
+    if gen is not None and gen["num_shards"] != num_shards:
+        raise ValueError(
+            "unfinished generation with a different shard count — "
+            "re-run with the same docs/num_shards to resume it"
+        )
+    if gen is None:
+        if manifest is None:
+            shard_base, docid_base = 0, 0
+        else:
+            agg = manifest.agg(
+                F.max("last_docid").alias("d"), F.max("shard").alias("s")
+            ).collect()[0]
+            shard_base, docid_base = int(agg["s"]) + 1, int(agg["d"]) + 1
+        gen = {
+            "shard_base": shard_base,
+            "docid_base": docid_base,
+            "num_shards": int(num_shards),
+        }
+        if tag is not None:
+            gen["tag"] = tag
+        index_store.append_generation(index_dir, gen)
+
+    build_segments(
+        docs, index_dir, num_shards=gen["num_shards"], batch_shards=batch_shards,
+        text_col=text_col, url_col=url_col,
+        shard_base=gen["shard_base"], docid_base=gen["docid_base"],
+    )
+    return finalize_index(spark, index_dir) if finalize else None
+
+
 def append_index(
     docs: DataFrame,
     index_dir: str,
@@ -441,54 +518,12 @@ def append_index(
     (resumable per batch), and :func:`finalize_index` is the compaction
     step — global df/idf and block_max are recomputed over all
     generations' segments, which is what makes appended and
-    built-at-once indexes answer queries identically.
-
-    Bookkeeping: ``generations.jsonl`` records (shard_base, docid_base,
-    num_shards) BEFORE the generation's first batch commits, so a
-    killed append re-run with the same docs resumes with the same bases
-    instead of allocating a duplicate range. Appends are sequential;
-    url uniqueness across generations is the caller's contract (same as
-    within one build).
-    """
-    spark = docs.sparkSession
-    manifest = index_store.read_manifest(spark, index_dir)
-    if manifest is None:
+    built-at-once indexes answer queries identically."""
+    if index_store.read_manifest(docs.sparkSession, index_dir) is None:
         raise ValueError("append_index needs an existing index — run build_index first")
-    if num_shards is None:
-        num_shards = auto_num_shards(docs)
-
-    gens = index_store.read_generations(index_dir)
-    gen = None
-    if gens:
-        last = gens[-1]
-        done = (
-            manifest.filter(
-                (F.col("shard") >= last["shard_base"])
-                & (F.col("shard") < last["shard_base"] + last["num_shards"])
-            )
-            .select("shard").distinct().count()
-        )
-        if done < last["num_shards"]:  # killed append: resume it
-            if last["num_shards"] != num_shards:
-                raise ValueError(
-                    "unfinished generation with a different shard count — "
-                    "re-run append_index with the same docs/num_shards to resume"
-                )
-            gen = last
-    if gen is None:
-        agg = manifest.agg(
-            F.max("last_docid").alias("d"), F.max("shard").alias("s")
-        ).collect()[0]
-        gen = {
-            "shard_base": int(agg["s"]) + 1,
-            "docid_base": int(agg["d"]) + 1,
-            "num_shards": int(num_shards),
-        }
-        index_store.append_generation(index_dir, gen)
-
-    build_segments(
-        docs, index_dir, num_shards=gen["num_shards"], batch_shards=batch_shards,
-        text_col=text_col, url_col=url_col,
-        shard_base=gen["shard_base"], docid_base=gen["docid_base"],
+    stats = ingest_generation(
+        docs, index_dir, num_shards=num_shards, batch_shards=batch_shards,
+        text_col=text_col, url_col=url_col, finalize=True,
     )
-    return finalize_index(spark, index_dir)
+    assert stats is not None
+    return stats

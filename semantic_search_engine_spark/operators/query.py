@@ -177,6 +177,10 @@ def search_index_wand(
     known_plan = [(q, k, ts) for q, k, ts in known_plan if ts]
     if not known_plan:
         return _empty_result(spark)
+    # ship the query plan + idf map as a broadcast variable (cached once
+    # per executor) rather than a UDF closure (re-shipped per task) —
+    # matters once the batch reaches 10^5+ queries
+    bc = spark.sparkContext.broadcast((known_plan, idf_map, avgdl))
 
     # Bundle shards into at most ~2×parallelism task groups: shards are
     # docid-disjoint, so any union of whole shards is a valid WAND unit
@@ -188,6 +192,7 @@ def search_index_wand(
     )
 
     def wand_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        known_plan, idf_map, avgdl = bc.value
         if len(pdf) == 0:
             return pd.DataFrame(
                 {c: pd.Series(dtype=t) for c, t in

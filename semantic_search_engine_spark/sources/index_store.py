@@ -9,7 +9,7 @@ paths once the runtime has the Iceberg catalog jars — see
     postings/shard=N/         finalized blocks (+ block_max)
     dictionary/               (term, df, cf, idf, n_blocks)
     stats/                    single row (n_docs, avgdl, total_tokens, num_shards)
-    docmap/                   (docid, url, dl, shard)
+    docmap/                   (docid, url, shard)
     manifest/seg_*.parquet    one file per finished build batch —
                               append-only checkpoint log
 

@@ -1,0 +1,73 @@
+"""Structured-Streaming ingest into the LSM index.
+
+The reference has no streaming surface (SURVEY §2.9); this is the
+target-domain extension this package's README promised as the natural
+seam: ``readStream`` over the corpus location → ``foreachBatch`` → one
+LSM generation per micro-batch (operators/build.py:ingest_generation),
+with :func:`finalize_index` as the compaction that makes new
+generations queryable.
+
+Delivery semantics: Spark's streaming checkpoint prevents re-delivery
+across restarts; if a batch IS replayed (crash between ingest and
+checkpoint commit), the generation tag ``stream-batch-<id>`` makes the
+ingest a no-op when complete and a resume when partial — effectively
+exactly-once index contents.
+
+Compaction policy: ``finalize_every=N`` finalizes every Nth non-empty
+micro-batch (finalize cost is O(total segments), so high-frequency
+streams amortize it; un-finalized generations are durable in segments +
+manifest and become visible at the next compaction — the standard LSM
+visibility rule). Call ``finalize_index`` once after stopping to
+compact any tail.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.build import ingest_generation
+
+
+def stream_ingest(
+    stream_df: DataFrame,
+    index_dir: str,
+    num_shards_per_batch: int | None = None,
+    checkpoint_dir: str | None = None,
+    finalize_every: int = 1,
+    trigger: dict | None = None,
+    text_col: str = "text",
+    url_col: str = "url",
+):
+    """Start a streaming query that ingests ``stream_df`` (the corpus
+    schema: at least ``url_col`` + ``text_col``) into ``index_dir``.
+    Returns the StreamingQuery; ``trigger`` is passed through (e.g.
+    ``{"availableNow": True}`` to drain and stop)."""
+    state = {"batches": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state["batches"] += 1
+        do_finalize = finalize_every > 0 and state["batches"] % finalize_every == 0
+        ingest_generation(
+            batch_df.select(url_col, text_col),
+            index_dir,
+            num_shards=num_shards_per_batch,
+            text_col=text_col,
+            url_col=url_col,
+            tag=f"stream-batch-{batch_id}",
+            finalize=do_finalize,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint"),
+        )
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
