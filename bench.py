@@ -129,8 +129,17 @@ def main() -> None:
         selected = {s.strip() for s in only.split(",") if s.strip()} if only else None
         suite = {
             "bm25_exhaustive": lambda: entrymod.q_bm25_topk(spark, sf_dir).collect(),
+            "bm25_conjunctive": lambda: entrymod.q_bm25_conjunctive_topk(spark, sf_dir).collect(),
             "dedup_minhash": lambda: entrymod.q_dedup_minhash_bands(spark, sf_dir).collect(),
+            # production dedup params (t=0.9, 8 bits x 8 tables): selective
+            # banding. The oracle entry's t=0.45 config intentionally
+            # degenerates to ~all-pairs (recall proof, not a perf config).
+            "neardup_lsh": lambda: entrymod.dedup.embedding_neardup_pairs(
+                entrymod._read(spark, sf_dir, "embeddings"),
+                threshold=0.9, num_tables=8, hash_bits=8,
+            ).collect(),
             "ann_cosine": lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect(),
+            "ann_pq": lambda: entrymod.q_ann_pq_fullprobe(spark, sf_dir).collect(),
             "tpch_q1": lambda: entrymod.q_tpch_q1(spark, sf_dir).collect(),
         }
         for name, fn in suite.items():

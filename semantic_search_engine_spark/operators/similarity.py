@@ -18,6 +18,7 @@ batched assignment (the reference's vectorized kernel,
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -121,6 +122,38 @@ class IVFIndex:
             .cache()
         )
         return cls(assigned, cent, id_col, vec_col)
+
+    def save(self, path: str) -> None:
+        """Persist: vectors partitioned BY BUCKET (probe-time reads are
+        partition-pruned directory scans — the on-disk analog of the
+        reference's packed per-cluster index file,
+        /root/reference/src/IVF.py:85-122) + centroid array as JSON."""
+        import json
+
+        self.assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "vectors")
+        )
+        meta = {
+            "centroids": self.centroids.tolist(),
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        import json
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        assigned = spark.read.parquet(os.path.join(path, "vectors"))
+        return cls(
+            assigned,
+            np.asarray(meta["centroids"], dtype=np.float64),
+            meta["id_col"],
+            meta["vec_col"],
+        )
 
     def search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
         q = np.asarray(query_vec, dtype=np.float64)

@@ -223,3 +223,22 @@ def test_ivf_search_batch_matches_single(emb):
         got = batch[batch["qid"] == qi].sort_values("rank")
         assert list(got["vec_id"]) == list(single["vec_id"])
         assert np.allclose(got["cos"].to_numpy(), single["cos"].to_numpy())
+
+
+def test_ivf_save_load_partition_pruned(emb, tmp_path_factory, spark):
+    """Persisted IVF probes read ONLY the probed bucket directories —
+    partition pruning visible in the scan's plan."""
+    from semantic_search_engine_spark.plans import audit
+
+    df, m = emb
+    d = str(tmp_path_factory.mktemp("ivf_store"))
+    idx = similarity.IVFIndex.build(df, n_clusters=6, sample_cap=300)
+    idx.save(d)
+    loaded = similarity.IVFIndex.load(spark, d)
+    q = [float(x) for x in m[3]]
+    a = idx.search(q, k=5, n_probe=3).toPandas()
+    b = loaded.search(q, k=5, n_probe=3).toPandas()
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert np.allclose(a["cos"], b["cos"])
+    plan = audit.physical_plan(loaded.assigned.filter(F.col("bucket").isin([1, 2])))
+    assert "PartitionFilters" in plan and "bucket" in plan
