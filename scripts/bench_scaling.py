@@ -81,12 +81,15 @@ def main() -> None:
     t8 = run("local[8]", 8, THREADS_DOCS)
     p1 = run("local-cluster[1,8,8192]", 8, PROCS_DOCS)
     p4 = run("local-cluster[4,8,8192]", 32, PROCS_DOCS)
+    s1 = run("local-cluster[1,2,8192]", 2, PROCS_DOCS)
+    s4 = run("local-cluster[4,2,8192]", 8, PROCS_DOCS)
     mp_ctl = run_mp_control()
 
     rows = []
     for label, lo, hi in (
         (f"threads: local[2] → local[8] ({THREADS_DOCS:,} docs)", t2, t8),
         (f"executors: 1×8 → 4×8 local-cluster ({PROCS_DOCS:,} docs)", p1, p4),
+        (f"executors: 1×2 → 4×2 local-cluster ({PROCS_DOCS:,} docs; ≤2 streams/JVM)", s1, s4),
     ):
         b_lo, b_hi = lo["build_docs_per_sec"], hi["build_docs_per_sec"]
         q_lo, q_hi = 1.0 / lo["query_p50_sec"], 1.0 / hi["query_p50_sec"]
@@ -135,6 +138,8 @@ Raw JSON:
 {json.dumps(t8)}
 {json.dumps(p1)}
 {json.dumps(p4)}
+{json.dumps(s1)}
+{json.dumps(s4)}
 {json.dumps(mp_ctl)}
 ```
 
