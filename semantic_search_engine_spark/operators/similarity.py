@@ -59,17 +59,25 @@ def cosine_topk(
 # ---------------------------------------------------------------- IVF
 
 def kmeans_fit(x: np.ndarray, k: int, iters: int = 20, seed: int = 42) -> np.ndarray:
-    """Tiny deterministic Lloyd k-means (driver-side, bounded sample) —
-    stands in for the reference's scipy kmeans2 (/root/reference/src/kmeans.py:13-15)."""
+    """Deterministic Lloyd k-means (driver-side, bounded sample) —
+    stands in for the reference's scipy kmeans2
+    (/root/reference/src/kmeans.py:13-15). Matmul distance form +
+    bincount centroid update: O(n·k) memory-free of the naive
+    (n, k, d) difference tensor, so reference-ladder cluster counts
+    (750 @5M, 2048 @20M — src/IVF.py:16-19) fit on the driver."""
+    x = np.asarray(x, dtype=np.float64)
     rng = np.random.default_rng(seed)
-    cent = x[rng.choice(x.shape[0], size=k, replace=False)].astype(np.float64)
+    cent = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
+    x2 = (x**2).sum(1)[:, None]
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        # ||x-c||² = ||x||² - 2x·c + ||c||² (argmin-equivalent, no tensor)
+        d = x2 - 2.0 * (x @ cent.T) + (cent**2).sum(1)[None, :]
         assign = d.argmin(1)
-        for c in range(k):
-            m = assign == c
-            if m.any():
-                cent[c] = x[m].mean(0)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
     return cent
 
 
