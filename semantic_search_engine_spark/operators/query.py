@@ -182,11 +182,17 @@ def search_index_wand(
     # matters once the batch reaches 10^5+ queries
     bc = spark.sparkContext.broadcast((known_plan, idf_map, avgdl))
 
-    # Bundle shards into at most ~2×parallelism task groups: shards are
+    # Bundle shards into at most ~4×parallelism task groups: shards are
     # docid-disjoint, so any union of whole shards is a valid WAND unit
     # (σ bounds just get looser); group count stays bounded as the
-    # size-tiered shard count grows with the corpus.
-    n_groups = 2 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # size-tiered shard count grows with the corpus. Swept at 1001
+    # queries on this host: 4×cpus beats 1×/2×/8×/16× at both 400k and
+    # 2M docs (smaller groups balance better and keep tighter σ bounds;
+    # beyond that, per-(query, group) bookkeeping dominates).
+    import os as _os
+
+    per_cpu = int(_os.environ.get("SSSE_WAND_GROUPS_PER_CPU", "4"))
+    n_groups = per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions"))
     blocks = reader.postings().filter(F.col("term").isin(list(idf_map))).withColumn(
         "_qgroup", F.pmod(F.col("shard"), F.lit(n_groups))
     )
@@ -256,8 +262,29 @@ def search_index_wand(
             kept = q_pos[bounds >= thr]
             if kept.size == 0:
                 continue
-            cands = np.unique(np.concatenate([dec(int(i))[0] for i in kept]))
-            scores = _score_candidates(cands, per_term_for(cands, qterms), idf_map, avgdl)
+            if len(qterms) == 1:
+                # one term: runs are docid-disjoint and ordered by
+                # first_docid → concatenation is already sorted-unique,
+                # and the decoded (tf, dl) runs score directly (no
+                # candidate re-lookup)
+                decs = [dec(int(i)) for i in kept]
+                cands = np.concatenate([d0 for d0, _, _ in decs])
+                scores = impact_np(
+                    np.concatenate([d1 for _, d1, _ in decs]),
+                    np.concatenate([d2 for _, _, d2 in decs]),
+                    idf_map[qterms[0]], avgdl,
+                )
+            else:
+                cands = np.unique(np.concatenate([dec(int(i))[0] for i in kept]))
+                scores = _score_candidates(cands, per_term_for(cands, qterms), idf_map, avgdl)
+            if scores.size > 4 * k:
+                # head-term queries score 10^5+ candidates: full lexsort
+                # is the per-query hot spot. Select by the k-th score
+                # (keeping boundary ties), then order the small set —
+                # identical (score desc, docid asc) result.
+                kth = np.partition(scores, scores.size - k)[scores.size - k]
+                sel = np.flatnonzero(scores >= kth)
+                cands, scores = cands[sel], scores[sel]
             order = np.lexsort((cands, -scores))[:k]
             outs.append(
                 pd.DataFrame(
