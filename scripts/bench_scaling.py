@@ -151,7 +151,7 @@ of ALL cpu in **sys** time with <10% user. Controls:
 
 | control experiment | result |
 |---|---|
-| raw mp workers, exact SPIMI work incl. generation, 2→8 procs | 3.04× (eff 0.76 — the host ceiling for this workload class) |
+| raw mp workers, exact SPIMI work incl. generation, 2→8 procs | 3.0–3.7× across runs (eff 0.75–0.92; host noise is the largest error bar) |
 | 32 python procs, pure sha256, 20 s sustained | scales 3.3× over 8 procs |
 | 1 JVM, pure codegen (sha2 sum), 2→8 threads | 3.4× (eff 0.85 — the JVM ceiling) |
 | 1 JVM, shuffle+sort 3M strings, 2→8 threads | 2.9× |

@@ -129,8 +129,9 @@ def test_zero_token_docs_counted(spark, tmp_path_factory):
 
 
 def test_all_empty_corpus_builds_and_serves_empty(spark, tmp_path_factory):
-    """An entire corpus of zero-token docs: stats still correct (sentinel
-    rows carry doc counts), queries return empty instead of crashing."""
+    """An entire corpus of zero-token docs: stats still correct (kernel
+    metrics count docs independently of block production), queries
+    return empty instead of crashing."""
     d = str(tmp_path_factory.mktemp("emptyidx"))
     docs = spark.createDataFrame([(f"u{i}", "???") for i in range(6)], "url string, text string")
     stats = build_index(docs, d, num_shards=2)

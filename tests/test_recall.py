@@ -60,3 +60,25 @@ def test_pq_shortlist_recall_floor(vecs):
     pq = similarity.PQIndex.build(emb, n_segments=8, n_codes=16, sample_cap=N)
     r = _recall(queries, exact, lambda q: pq.search(emb, q, k=K, shortlist=10 * K))
     assert r >= 0.5
+
+
+def test_wand_theta_inflation_recall_floor(spark, tmp_path_factory):
+    """theta_factor=1.1 (approximate block-max pruning) keeps ≥90% of
+    the exact batch answer on the webtext fixture."""
+    from semantic_search_engine_spark.fixtures.webtext import generate_queries, generate_webtext
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+
+    d = str(tmp_path_factory.mktemp("wand_approx"))
+    build_index(generate_webtext(spark, 2000), d, num_shards=2)
+    reader = IndexReader(spark, d)
+    qs = generate_queries(n_queries=25)
+    exact = {}
+    for r in search_index_wand(reader, qs, theta_factor=1.0).collect():
+        exact.setdefault(r["qid"], set()).add(r["docid"])
+    approx = {}
+    for r in search_index_wand(reader, qs, theta_factor=1.1).collect():
+        approx.setdefault(r["qid"], set()).add(r["docid"])
+    num = sum(len(approx.get(q, set()) & s) for q, s in exact.items())
+    den = sum(len(s) for s in exact.values())
+    assert den > 0 and num / den >= 0.9
