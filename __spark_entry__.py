@@ -299,6 +299,16 @@ def q_ann_pq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
 
 
+def q_ann_ivfpq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the reference's third engine): bucket pruning over PQ
+    codes + exact rerank; full probe + full shortlist ≡ brute force."""
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = similarity.IVFPQIndex.build(
+        emb, n_clusters=8, n_segments=8, n_codes=16, sample_cap=2000
+    )
+    return idx.search(emb, _query_vec(spark, sf_dir), k=10, n_probe=8, exclude_ids=[0])
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, threshold=0.45)
@@ -447,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "ann_pq_fullprobe": q_ann_pq_fullprobe,
+        "ann_ivfpq_fullprobe": q_ann_ivfpq_fullprobe,
         "embedding_neardup": q_embedding_neardup,
         "embedding_label_centroids": q_embedding_label_centroids,
         "tpch_q1": q_tpch_q1,
@@ -579,6 +590,12 @@ FROM embeddings, q WHERE vec_id <> 0
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
 """,
         "ann_pq_fullprobe": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
+""",
+        "ann_ivfpq_fullprobe": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
 FROM embeddings, q WHERE vec_id <> 0

@@ -224,6 +224,23 @@ class IVFIndex:
 
 # ---------------------------------------------------------------- PQ
 
+def adc_expr(codebooks: np.ndarray, query_vec: list[float], codes_col: str = "codes") -> "F.Column":
+    """Asymmetric-distance column expression: per-segment (query ·
+    codeword) lookup table inlined as literals, summed via one
+    aggregate() over the codes array — pure JVM/codegen scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    nseg, _, dseg = codebooks.shape
+    table = np.stack([q[s * dseg:(s + 1) * dseg] @ codebooks[s].T for s in range(nseg)])
+    tbl = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
+    segs = F.sequence(F.lit(1), F.lit(nseg))
+    return F.aggregate(
+        segs, F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(tbl, s), F.element_at(F.col(codes_col), s) + 1),
+    )
+
+
 class PQIndex:
     """Product quantization over an embedding column — the reference's
     rejected-but-measured second engine (/root/reference/src/PQ.py:142-204):
@@ -297,19 +314,9 @@ class PQIndex:
         """(id, adc) — approximate cosine via one table lookup-sum per
         row, entirely JVM-side (the inlined lookup table is
         n_segments × n_codes literals)."""
-        q = np.asarray(query_vec, dtype=np.float64)
-        q = q / np.linalg.norm(q)
-        nseg, _, dseg = self.codebooks.shape
-        table = np.stack(
-            [q[s * dseg:(s + 1) * dseg] @ self.codebooks[s].T for s in range(nseg)]
+        return self.codes.select(
+            F.col(self.id_col), adc_expr(self.codebooks, query_vec).alias("adc")
         )
-        tbl = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in table])
-        segs = F.sequence(F.lit(1), F.lit(nseg))
-        adc = F.aggregate(
-            segs, F.lit(0.0),
-            lambda acc, s: acc + F.element_at(F.element_at(tbl, s), F.element_at(F.col("codes"), s) + 1),
-        )
-        return self.codes.select(F.col(self.id_col), adc.alias("adc"))
 
     def search(
         self, emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -322,6 +329,64 @@ class PQIndex:
         if shortlist is not None:
             sl = sl.orderBy(F.desc("adc"), F.asc(self.id_col)).limit(shortlist)
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            emb.join(sl.select(self.id_col), self.id_col)
+            .select(self.id_col, F.round(cosine_expr(F.col(self.vec_col), qcol), 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+
+class IVFPQIndex:
+    """IVF bucket pruning over PQ-compressed codes + exact rerank — the
+    reference's third measured engine (IVF-PQ, Report p.11: 0.7 s @1M,
+    PQ trained on 100k; it lost to plain IVF on recall, which
+    BENCH/RECALL.md reproduces). At 100 TB this is the scan-cheapest
+    path: probes touch only n_probe bucket partitions AND read 8-byte
+    codes instead of raw vectors; the exact rerank touches vectors only
+    for the shortlist."""
+
+    def __init__(self, table: DataFrame, centroids: np.ndarray, codebooks: np.ndarray,
+                 id_col: str, vec_col: str):
+        self.table = table  # (id, bucket, codes)
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls, emb: DataFrame, n_clusters: int = 8, n_segments: int = 8, n_codes: int = 16,
+        sample_cap: int = 100_000, id_col: str = "vec_id", vec_col: str = "embedding",
+        seed: int = 42,
+    ) -> "IVFPQIndex":
+        ivf = IVFIndex.build(emb, n_clusters, sample_cap, id_col, vec_col, seed)
+        pq = PQIndex.build(emb, n_segments, n_codes, sample_cap, id_col, vec_col, seed)
+        table = (
+            ivf.assigned.select(id_col, "bucket")
+            .join(pq.codes, id_col)
+            .repartition("bucket")
+            .cache()
+        )
+        ivf.assigned.unpersist()
+        pq.codes.unpersist()
+        return cls(table, ivf.centroids, pq.codebooks, id_col, vec_col)
+
+    def search(
+        self, emb: DataFrame, query_vec: list[float], k: int = 10,
+        n_probe: int = 4, shortlist: int | None = None, exclude_ids: list[int] | None = None,
+    ) -> DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        probe = [int(b) for b in np.argsort(cn @ (q / np.linalg.norm(q)))[-n_probe:]]
+        sl = self.table.filter(F.col("bucket").isin(probe)).select(
+            F.col(self.id_col), adc_expr(self.codebooks, query_vec).alias("adc")
+        )
+        if exclude_ids:
+            sl = sl.filter(~F.col(self.id_col).isin(exclude_ids))
+        if shortlist is not None:
+            sl = sl.orderBy(F.desc("adc"), F.asc(self.id_col)).limit(shortlist)
+        qcol = F.array(*[F.lit(float(x)) for x in q])
         return (
             emb.join(sl.select(self.id_col), self.id_col)
             .select(self.id_col, F.round(cosine_expr(F.col(self.vec_col), qcol), 6).alias("cos"))

@@ -242,3 +242,24 @@ def test_ivf_save_load_partition_pruned(emb, tmp_path_factory, spark):
     assert np.allclose(a["cos"], b["cos"])
     plan = audit.physical_plan(loaded.assigned.filter(F.col("bucket").isin([1, 2])))
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_ivfpq_fullprobe_equals_bruteforce(emb):
+    """IVF-PQ with full probe + full-shortlist exact rerank == brute
+    force (the reference's third engine, machinery-exercising config)."""
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    idx = similarity.IVFPQIndex.build(df, n_clusters=6, n_segments=4, n_codes=8, sample_cap=300)
+    got = idx.search(df, q, k=6, n_probe=6).toPandas()
+    want = similarity.cosine_topk(df, q, k=6).toPandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert np.allclose(got["cos"], want["cos"])
+
+
+def test_ivfpq_pruned_finds_planted_neighbor(emb):
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    idx = similarity.IVFPQIndex.build(df, n_clusters=6, n_segments=4, n_codes=8, sample_cap=300)
+    got = idx.search(df, q, k=5, n_probe=2, shortlist=40).toPandas()
+    ids = set(got["vec_id"])
+    assert 3 in ids and 7 in ids
