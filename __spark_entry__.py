@@ -119,16 +119,20 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _serve_wand(spark: SparkSession, d: str) -> DataFrame:
     """WAND top-k from an on-disk index, mapped back to external ids.
 
-    Fetch k+10 then RE-RANK on (score desc, doc_id asc) after the
-    docmap join: the engine's internal rank breaks ties by minted
-    docid ((hash bucket, url) order), which differs from doc_id order.
-    Equal BM25 scores require identical (tf vector, dl) — duplicate
-    texts — so a 10-row margin covers any tie run at the k boundary."""
+    Tie-EXACT for any tie-run length: ``keep_boundary_ties=True`` makes
+    every shard emit all docs tying its k-th score and the global merge
+    keep every potential top-k member (rank() over score alone), so the
+    re-rank on (score desc, doc_id asc) AFTER the docmap join breaks
+    ties on the external id exactly — no fetch-margin heuristic. (The
+    engine's internal rank breaks ties by minted docid, which is
+    (hash bucket, url) order, not doc_id order.)"""
     from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
     from semantic_search_engine_spark.sources.index_store import read_docmap
 
     reader = IndexReader(spark, d)
-    res = search_index_wand(reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K + 10}])
+    res = search_index_wand(
+        reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K}], keep_boundary_ties=True
+    )
     docmap = read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
     return (
         res.join(docmap, "docid")

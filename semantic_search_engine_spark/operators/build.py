@@ -6,9 +6,10 @@ in driver RAM /root/reference/src/IVF.py:85-86; silent tail drop
 /root/reference/src/IVF.py:152-153):
 
   corpus → shard = pmod(xxhash64(url), P)            (map-side)
-         → per-shard counts → exclusive prefix-sum offsets
-           (the reference's cumsum/roll CSR directory,
-           /root/reference/src/IVF.py:79-81; driver state = P longs)
+         → per-shard counts → exclusive prefix-sum offsets via a Window
+           over the P count rows (the reference's cumsum/roll CSR
+           directory, /root/reference/src/IVF.py:79-81; executor-side,
+           zero O(P) driver state)
          → groupBy(shard).applyInPandas(SPIMI writer)  — the ONE
            corpus shuffle. Inside the Arrow kernel, per shard:
              docids  = offset + rank of url in the shard (sorted)
@@ -99,6 +100,16 @@ def _make_spimi_writer(stage_dir: str):
         if len(pdf) == 0:
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in METRICS_COLS})
         offset = int(pdf["_offset"].iloc[0])
+        expected = int(pdf["_n"].iloc[0])
+        if len(pdf) != expected:
+            # the offsets job and this kernel job scanned the input
+            # separately — a nondeterministic source (sample/limit/
+            # shuffle-order-dependent) would silently overlap docid
+            # ranges; fail loudly instead
+            raise ValueError(
+                f"shard {shard}: kernel saw {len(pdf)} rows but the offset pass "
+                f"counted {expected} — build input must be deterministic across jobs"
+            )
         order = np.argsort(pdf["url"].to_numpy(), kind="stable")
         pdf = pdf.iloc[order]
         docids = offset + np.arange(len(pdf), dtype=np.int64)
@@ -257,76 +268,84 @@ def build_segments(
         F.col(url_col).alias("url"),
         F.col(text_col).alias("text"),
     )
-    # per-shard counts → exclusive prefix-sum docid offsets (A2/W1:
-    # the CSR-directory analog; driver state = num_shards longs)
-    counts = {
-        r["shard"]: r["n"]
-        for r in prepared.groupBy("shard").agg(F.count("*").alias("n")).collect()
-    }
-    offset_rows, acc = [], docid_base
-    for s in range(lo_all, hi_all):
-        offset_rows.append((s, acc))
-        acc += counts.get(s, 0)
-    offset_df = spark.createDataFrame(offset_rows, "shard int, _offset long")
+    # per-shard counts → exclusive prefix-sum docid offsets (A2/W1: the
+    # CSR-directory analog). Entirely executor-side: a Window prefix-sum
+    # over the num_shards count rows (one task sorts O(num_shards) rows,
+    # spillable — NOT a driver collect, which at 100 TB / 15k docs per
+    # shard would be 10^6-10^7 rows of driver state). The expected count
+    # `_n` rides along so the kernel can assert input determinism.
+    from pyspark.sql import Window as _W
+
+    counts = prepared.groupBy("shard").agg(F.count("*").alias("_n"))
+    w_off = _W.orderBy("shard").rowsBetween(_W.unboundedPreceding, -1)
+    offset_df = counts.select(
+        "shard",
+        (F.lit(docid_base) + F.coalesce(F.sum("_n").over(w_off), F.lit(0))).alias("_offset"),
+        "_n",
+    ).cache()
+    offset_df.count()  # materialize once; batches below reuse the cache
     if timing:
         print(f"[build] shards+offsets {time.perf_counter() - t0:.1f}s")
 
     built = 0
     processed = 0
     ranges = [(lo, min(lo + batch_shards, hi_all)) for lo in range(lo_all, hi_all, batch_shards)]
-    for lo, hi in ranges:
-        if max_batches is not None and processed >= max_batches:
-            break
-        in_range = (F.col("shard") >= lo) & (F.col("shard") < hi)
-        if manifest is not None:
-            done = {
-                r["shard"]
-                for r in manifest.filter(in_range).select("shard").distinct().collect()
-            }
-        else:
-            done = set()
-        batch = [s for s in range(lo, hi) if s not in done]
-        if not batch:
-            continue
-        processed += 1
-        t0 = time.perf_counter()
-        batch_id = uuid.uuid4().hex[:12]
-        stage = os.path.join(index_dir, f"_stage_{batch_id}")
-        part = pending_in_range(prepared, finished_df if done else None, lo, hi)
-        met = (
-            part.join(F.broadcast(offset_df), "shard")
-            .groupBy("shard")
-            .applyInPandas(_make_spimi_writer(stage), METRICS_SCHEMA)
-            .collect()
-        )
-        if timing:
-            print(f"[build] spimi+write batch={len(batch)} {time.perf_counter() - t0:.1f}s")
-            t0 = time.perf_counter()
-        # promote staged shard dirs, THEN commit the manifest row —
-        # a kill between the two is rebuilt+overwritten on resume
-        index_store.promote_staged(stage, index_dir, ("segments", "docmap"), batch)
-        byshard = {int(r["shard"]): r for r in met}
-        rows = []
-        for s in batch:
-            b = byshard.get(s)
-            rows.append(
-                {
-                    "shard": s,
-                    "n_docs": int(b["n_docs"]) if b else 0,
-                    "sum_dl": int(b["sum_dl"]) if b else 0,
-                    "n_terms": int(b["n_terms"]) if b else 0,
-                    "n_blocks": int(b["n_blocks"]) if b else 0,
-                    "n_postings": int(b["n_postings"]) if b else 0,
-                    "payload_bytes": int(b["payload_bytes"]) if b else 0,
-                    "first_docid": int(b["first_docid"]) if b else -1,
-                    "last_docid": int(b["last_docid"]) if b else -1,
-                    "batch_id": batch_id,
+    try:
+        for lo, hi in ranges:
+            if max_batches is not None and processed >= max_batches:
+                break
+            in_range = (F.col("shard") >= lo) & (F.col("shard") < hi)
+            if manifest is not None:
+                done = {
+                    r["shard"]
+                    for r in manifest.filter(in_range).select("shard").distinct().collect()
                 }
+            else:
+                done = set()
+            batch = [s for s in range(lo, hi) if s not in done]
+            if not batch:
+                continue
+            processed += 1
+            t0 = time.perf_counter()
+            batch_id = uuid.uuid4().hex[:12]
+            stage = os.path.join(index_dir, f"_stage_{batch_id}")
+            part = pending_in_range(prepared, finished_df if done else None, lo, hi)
+            met = (
+                part.join(F.broadcast(offset_df), "shard")
+                .groupBy("shard")
+                .applyInPandas(_make_spimi_writer(stage), METRICS_SCHEMA)
+                .collect()
             )
-        index_store.append_manifest(spark, index_dir, rows)
-        built += len(batch)
-        if timing:
-            print(f"[build] promote+manifest {time.perf_counter() - t0:.1f}s")
+            if timing:
+                print(f"[build] spimi+write batch={len(batch)} {time.perf_counter() - t0:.1f}s")
+                t0 = time.perf_counter()
+            # promote staged shard dirs, THEN commit the manifest row —
+            # a kill between the two is rebuilt+overwritten on resume
+            index_store.promote_staged(stage, index_dir, ("segments", "docmap"), batch)
+            byshard = {int(r["shard"]): r for r in met}
+            rows = []
+            for s in batch:
+                b = byshard.get(s)
+                rows.append(
+                    {
+                        "shard": s,
+                        "n_docs": int(b["n_docs"]) if b else 0,
+                        "sum_dl": int(b["sum_dl"]) if b else 0,
+                        "n_terms": int(b["n_terms"]) if b else 0,
+                        "n_blocks": int(b["n_blocks"]) if b else 0,
+                        "n_postings": int(b["n_postings"]) if b else 0,
+                        "payload_bytes": int(b["payload_bytes"]) if b else 0,
+                        "first_docid": int(b["first_docid"]) if b else -1,
+                        "last_docid": int(b["last_docid"]) if b else -1,
+                        "batch_id": batch_id,
+                    }
+                )
+            index_store.append_manifest(spark, index_dir, rows)
+            built += len(batch)
+            if timing:
+                print(f"[build] promote+manifest {time.perf_counter() - t0:.1f}s")
+    finally:
+        offset_df.unpersist()
     return built
 
 

@@ -6,16 +6,18 @@ under repartitioning. We mint from *sorted-url-within-hash-bucket*
 order instead, in two passes:
 
   1. bucket  = pmod(xxhash64(url), P)            (map-side, no shuffle)
-     counts  = groupBy(bucket).count()           (P rows → driver)
-     offsets = exclusive prefix-sum over bucket id   (the reference's
-               cumsum/roll CSR directory, /root/reference/src/IVF.py:79-81)
+     counts  = groupBy(bucket).count()           (P rows, stays on executors)
+     offsets = exclusive prefix-sum over bucket id via a Window over
+               the P count rows (the reference's cumsum/roll CSR
+               directory, /root/reference/src/IVF.py:79-81)
   2. docid   = offset[bucket] + (row_number() over
                Window.partitionBy(bucket).orderBy(url) - 1)
 
 Properties at 10^12 docs: one shuffle (by bucket), per-partition sort
-only (no global sort), driver state = P longs, deterministic for any
-input partitioning, and **docid ranges are contiguous per bucket** —
-which later lets segment merge concatenate posting runs instead of
+only (no global sort), zero O(P) driver state (the offset table lives
+in a broadcast, never a collect), deterministic for any input
+partitioning, and **docid ranges are contiguous per bucket** — which
+later lets segment merge concatenate posting runs instead of
 re-sorting them.
 """
 
@@ -39,13 +41,12 @@ def mint_docids(df: DataFrame, url_col: str = "url", num_buckets: int | None = N
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     dfb = df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_buckets)).cast("int"))
-    counts = {r[BUCKET_COL]: r["n"] for r in dfb.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for b in range(num_buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    offset_df = spark.createDataFrame(
-        [(b, offsets[b]) for b in range(num_buckets)], schema=f"{BUCKET_COL} int, _offset long"
+    # exclusive prefix-sum over bucket counts, executor-side (a Window
+    # over num_buckets rows — no O(num_buckets) driver collect)
+    counts = dfb.groupBy(BUCKET_COL).agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy(BUCKET_COL).rowsBetween(Window.unboundedPreceding, -1)
+    offset_df = counts.select(
+        BUCKET_COL, F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
     )
     w = Window.partitionBy(BUCKET_COL).orderBy(url_col)
     return (

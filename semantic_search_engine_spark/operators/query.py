@@ -150,7 +150,10 @@ def _score_candidates(cands: np.ndarray, per_term: dict, idf_map, avgdl) -> np.n
 
 
 def search_index_wand(
-    reader: IndexReader, queries: list[dict], theta_factor: float = 1.0
+    reader: IndexReader,
+    queries: list[dict],
+    theta_factor: float = 1.0,
+    keep_boundary_ties: bool = False,
 ) -> DataFrame:
     """(qid, rank, docid, score) via per-shard block-max pruning.
 
@@ -164,7 +167,17 @@ def search_index_wand(
     mode, /root/reference/src/IVF.py:12-20). 1.0 (default) is EXACT:
     the bound argument in the module docstring guarantees no true
     top-k doc is pruned. Approximate recall is measured in
-    scripts/recall_eval.py."""
+    scripts/recall_eval.py.
+
+    ``keep_boundary_ties`` changes the contract for callers that want
+    to re-break ties under their OWN ordering (e.g. external doc_id
+    after a docmap join): every shard emits ALL docs whose score ties
+    the shard's k-th score, and the global merge uses rank() over
+    (score desc) alone, so every doc that could enter the top-k under
+    ANY tie-break survives. Soundness: a doc with score strictly below
+    its shard's k-th score already has k better-scored docs in that
+    shard alone, so no tie-break can pull it into the global top-k.
+    The default (False) pins ties on internal docid, exactly k rows."""
     spark = reader.spark
     plan, terms = _query_plan(queries)
     idf_map = reader.idf_map(terms)
@@ -277,7 +290,7 @@ def search_index_wand(
             else:
                 cands = np.unique(np.concatenate([dec(int(i))[0] for i in kept]))
                 scores = _score_candidates(cands, per_term_for(cands, qterms), idf_map, avgdl)
-            if scores.size > 4 * k:
+            if scores.size > k:
                 # head-term queries score 10^5+ candidates: full lexsort
                 # is the per-query hot spot. Select by the k-th score
                 # (keeping boundary ties), then order the small set —
@@ -285,7 +298,9 @@ def search_index_wand(
                 kth = np.partition(scores, scores.size - k)[scores.size - k]
                 sel = np.flatnonzero(scores >= kth)
                 cands, scores = cands[sel], scores[sel]
-            order = np.lexsort((cands, -scores))[:k]
+            order = np.lexsort((cands, -scores))
+            if not keep_boundary_ties:
+                order = order[:k]
             outs.append(
                 pd.DataFrame(
                     {
@@ -304,4 +319,11 @@ def search_index_wand(
         return pd.concat(outs)
 
     local = blocks.groupBy("_qgroup").applyInPandas(wand_shard, RESULT_SCHEMA)
+    if keep_boundary_ties:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"))
+        return (
+            local.withColumn("rank", F.rank().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("qid", "rank", "docid", "score")
+        )
     return _topk_window(local)

@@ -82,6 +82,38 @@ def test_oov_query_empty(spark, index):
     assert got.count() == 0
 
 
+def test_tie_exact_across_k_boundary(spark, tmp_path_factory):
+    """30 duplicate-text docs (identical BM25 score) straddling the
+    k=10 boundary: serving with keep_boundary_ties + a docmap join must
+    break ties on EXTERNAL doc_id exactly — a tie run this long defeats
+    any fixed fetch-margin heuristic."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("tieidx"))
+    rows = [(100 + i, "alpha alpha beta") for i in range(3)]  # tf=2: strictly higher
+    rows += [(200 + i, "alpha beta gamma") for i in range(30)]  # 30-way tie (tf=1, dl=3)
+    rows += [(900 + i, "delta epsilon") for i in range(5)]  # non-matching
+    docs = spark.createDataFrame(rows, "url long, text string")
+    build_index(docs, d, num_shards=4)
+    reader = IndexReader(spark, d)
+    k = 10
+    res = search_index_wand(
+        reader, [{"qid": 0, "query": "alpha", "k": k}], keep_boundary_ties=True
+    )
+    dm = index_store.read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
+    got = (
+        res.join(dm, "docid")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    assert got == [100, 101, 102] + [200 + i for i in range(7)]
+    # default mode still returns exactly k rows (internal-docid ties)
+    assert search_index_wand(reader, [{"qid": 0, "query": "alpha", "k": k}]).count() == k
+
+
 def test_kill_resume_identical(spark, tmp_path_factory, index):
     """Bounded run (= kill) → resume → byte-identical results + no
     recompute of finished shards."""
