@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from semantic_search_engine_spark.functions.tokenizer import tokens_col
-from semantic_search_engine_spark.operators import dedup, similarity, textstats
+from semantic_search_engine_spark.operators import dedup, multimodal, similarity, textstats
 from semantic_search_engine_spark.operators.postings import (
     corpus_stats,
     doc_freq,
@@ -313,9 +313,45 @@ def q_ann_ivfpq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb, _query_vec(spark, sf_dir), k=10, n_probe=8, exclude_ids=[0])
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L1-nearest top-10 (the reference's Manhattan metric option,
+    /root/reference/src/PQ.py:139-140) as a pure JVM expression."""
     emb = _read(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(emb, threshold=0.45)
+    return similarity.l1_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
+
+
+def q_multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end: binary payloads → Arrow-batched
+    decode (deterministic stand-in; sha256-derived, SQL-recomputable) →
+    feature vectors → cosine top-10 against asset 0's feature. Proves
+    the decode→feature→similarity plumbing produces exactly the values
+    the oracle recomputes from the raw bytes."""
+    docs = _docs(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("video")).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.extract_features(assets)
+    qv = [float(x) for x in feats.filter(F.col("asset_id") == 0).select("feature").first()[0]]
+    qcol = F.array(*[F.lit(x) for x in qv])
+    cos = F.round(similarity.cosine_expr(F.col("feature"), qcol), 6)
+    return (
+        feats.filter(F.col("asset_id") != 0)
+        .select("asset_id", "width", "height", "n_frames", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("asset_id"))
+        .limit(10)
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall-proof config, passed EXPLICITLY: 2 bits x 40 tables gives
+    # miss <= 3e-10 at t=0.45 so the DuckDB all-pairs oracle matches
+    # exactly. This setting intentionally degenerates toward all-pairs
+    # (it is the proof, not the production shape) — the library default
+    # is the selective 8x8 config benchmarked in bench.py.
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.45, num_tables=40, hash_bits=2)
 
 
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "ann_pq_fullprobe": q_ann_pq_fullprobe,
         "ann_ivfpq_fullprobe": q_ann_ivfpq_fullprobe,
+        "ann_manhattan_topk": q_ann_manhattan_topk,
+        "multimodal_feature_topk": q_multimodal_feature_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_label_centroids": q_embedding_label_centroids,
         "tpch_q1": q_tpch_q1,
@@ -490,6 +528,40 @@ def _minhash_cte(num_hashes: int = 8) -> str:
         f"min(md5('{j}:' || shingle)) AS mh_{j}" for j in range(num_hashes)
     )
     return _shingle_cte() + f", sig AS (SELECT doc_id, {mins} FROM sh GROUP BY 1)"
+
+
+def _multimodal_oracle() -> str:
+    """DuckDB recomputation of the deterministic multimodal decode
+    (operators/multimodal.py:_fake_decode) from the raw payload bytes:
+    h = sha256(text), meta from unhex(h) bytes, feature bytes from
+    sha256(h-as-ascii) — then cosine top-10 against asset 0."""
+    dim = multimodal.FEATURE_DIM
+    feat = ", ".join(
+        f"CAST(CAST(('0x' || substr(fh, {2 * i + 1}, 2)) AS INT) / 255.0 AS FLOAT)"
+        for i in range(dim)
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+         sha256(text) AS h, sha256(sha256(text)) AS fh
+  FROM documents
+),
+feat AS (
+  SELECT asset_id, kind,
+         64 + CAST(('0x' || substr(h, 1, 2)) AS INT) % 192 AS width,
+         64 + CAST(('0x' || substr(h, 3, 2)) AS INT) % 192 AS height,
+         CASE WHEN kind = 'image' THEN 1
+              ELSE 1 + CAST(('0x' || substr(h, 5, 2)) AS INT) % 32 END AS n_frames,
+         CAST([{feat}] AS DOUBLE[]) AS v
+  FROM f
+),
+q AS (SELECT v AS qv FROM feat WHERE asset_id = 0)
+SELECT asset_id, width, height, n_frames,
+       round(list_cosine_similarity(v, qv), 6) AS cos
+FROM feat, q WHERE asset_id <> 0
+ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, asset_id LIMIT 10
+"""
 
 
 def _simhash_sql() -> str:
@@ -605,6 +677,14 @@ SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
 FROM embeddings, q WHERE vec_id <> 0
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
 """,
+        "ann_manhattan_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v, unnest(qe) AS qv
+      FROM embeddings, q WHERE vec_id <> 0),
+d AS (SELECT vec_id, sum(abs(v - qv)) AS l1d FROM u GROUP BY 1)
+SELECT vec_id, round(l1d, 6) AS l1 FROM d ORDER BY round(l1d, 6), vec_id LIMIT 10
+""",
+        "multimodal_feature_topk": _multimodal_oracle(),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

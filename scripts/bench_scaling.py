@@ -45,6 +45,9 @@ def run(master: str, cores: int, n_docs: int) -> dict:
         SPARK_GRAFT_BENCH_QUERIES=str(BENCH_QUERIES),
         SPARK_GRAFT_EXEC_MEM="6g",
         SPARK_GRAFT_BENCH_ONLY="build,wand",
+        # this script medians at the axis level (repeat runs); one suite
+        # rep per subprocess keeps per-config wall time bounded
+        SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"),
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     t0 = time.time()

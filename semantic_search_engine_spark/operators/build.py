@@ -459,14 +459,25 @@ def ingest_generation(
     segments; optionally finalize (the compaction pass).
 
     Generation protocol: ``generations.jsonl`` records (shard_base,
-    docid_base, num_shards[, tag]) BEFORE the generation's first batch
-    commits, so a killed ingest re-run with the same docs resumes with
-    the same bases instead of allocating a duplicate range. ``tag``
-    makes ingestion idempotent per tag: a COMPLETE generation with the
-    same tag is skipped entirely — the replay protection Structured
-    Streaming's foreachBatch needs (streaming/ingest.py). Ingests are
-    sequential; url uniqueness across generations is the caller's
-    contract (same as within one build)."""
+    docid_base, docid_ceiling, num_shards[, tag]) BEFORE the
+    generation's first batch commits, so a killed ingest re-run with
+    the same docs resumes with the same bases instead of allocating a
+    duplicate range. ``tag`` makes ingestion idempotent per tag: a
+    COMPLETE generation with the same tag is skipped entirely — the
+    replay protection Structured Streaming's foreachBatch needs
+    (streaming/ingest.py).
+
+    Allocation safety: new ranges come from the generations-log
+    high-water mark (max over ALL recorded generations of
+    shard_base + num_shards and docid_ceiling), not from manifest
+    maxima — an allocated-but-unfinished generation (crashed tagged
+    ingest) therefore can never have its shard/docid range reused by a
+    later ingest, and resuming the crashed one later cannot collide.
+    An untagged ingest resumes the last generation only if that
+    generation is itself untagged; a crashed *tagged* generation is
+    only ever resumed by its own tag. Ingests are sequential; url
+    uniqueness across generations is the caller's contract (same as
+    within one build)."""
     spark = docs.sparkSession
     if num_shards is None:
         num_shards = auto_num_shards(docs)
@@ -490,7 +501,9 @@ def ingest_generation(
             if complete(g):  # replayed micro-batch: already ingested
                 return finalize_index(spark, index_dir) if finalize else None
             gen = g
-    elif gens and not complete(gens[-1]):
+    elif gens and not complete(gens[-1]) and "tag" not in gens[-1]:
+        # only an untagged ingest may resume an untagged generation; a
+        # crashed TAGGED generation waits for its own tag's replay
         gen = gens[-1]
     if gen is not None and gen["num_shards"] != num_shards:
         raise ValueError(
@@ -498,16 +511,25 @@ def ingest_generation(
             "re-run with the same docs/num_shards to resume it"
         )
     if gen is None:
-        if manifest is None:
-            shard_base, docid_base = 0, 0
-        else:
+        # allocate from the high-water mark over BOTH committed shards
+        # (manifest) and every recorded allocation (generations log) —
+        # an incomplete generation's reserved range is never reused
+        shard_hwm, docid_hwm = 0, 0
+        if manifest is not None:
             agg = manifest.agg(
                 F.max("last_docid").alias("d"), F.max("shard").alias("s")
             ).collect()[0]
-            shard_base, docid_base = int(agg["s"]) + 1, int(agg["d"]) + 1
+            shard_hwm, docid_hwm = int(agg["s"]) + 1, int(agg["d"]) + 1
+        for g in gens:
+            shard_hwm = max(shard_hwm, int(g["shard_base"]) + int(g["num_shards"]))
+            # pre-ceiling log records (older layouts) fall back to base
+            docid_hwm = max(docid_hwm, int(g.get("docid_ceiling", g["docid_base"])))
         gen = {
-            "shard_base": shard_base,
-            "docid_base": docid_base,
+            "shard_base": shard_hwm,
+            "docid_base": docid_hwm,
+            # reserve the docid range up front (one count job per
+            # ingest — micro-batch sized, not corpus sized)
+            "docid_ceiling": docid_hwm + docs.count(),
             "num_shards": int(num_shards),
         }
         if tag is not None:

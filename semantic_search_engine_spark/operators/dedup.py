@@ -155,8 +155,8 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_tables: int = 40,
-    hash_bits: int = 2,
+    num_tables: int = 8,
+    hash_bits: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, cos) — sign-LSH banded candidate generation + exact
@@ -165,14 +165,20 @@ def embedding_neardup_pairs(
     candidates come from an equi-join on (table, bucket), verification
     joins the two embedding sides by id.
 
-    Recall: a pair at cosine t collides in one table with probability
-    p^bits, p = 1 - arccos(t)/π; the pair is MISSED with probability
-    (1 - p^bits)^tables. The defaults (2 bits × 40 tables) give a miss
-    probability ≤ (1 - 0.648²)^40 ≈ 3e-10 at t = 0.45 — effectively
-    exact, which the DuckDB all-pairs oracle checks at sf0.01. At 100 TB
-    raise ``hash_bits`` with n (and the dedup threshold, typically
-    ≥ 0.9 where p ≈ 0.9) so per-bucket candidate counts stay bounded;
-    bits trade candidate volume against tables needed for recall.
+    Recall vs candidate volume: a pair at cosine t collides in one
+    table with probability p^bits, p = 1 - arccos(t)/π; the pair is
+    MISSED with probability (1 - p^bits)^tables; expected candidate
+    volume is ~tables · n² / 2^bits for near-uniform buckets. The
+    defaults (8 bits × 8 tables) are the PRODUCTION near-dup config:
+    at the thresholds dedup actually uses (t ≥ 0.95, p ≈ 0.90) miss
+    ≈ (1 − 0.90⁸)⁸ ≈ 1.2%, with 256 buckets/table keeping candidate
+    counts ~n²/32 of all-pairs. Raise ``hash_bits`` with corpus size
+    (buckets should grow ~linearly with n to bound per-bucket pair
+    counts). Low-bit/high-table configs (e.g. 2 bits × 40 tables:
+    miss ≤ 3e-10 at t = 0.45) intentionally degenerate toward
+    all-pairs — recall-proof settings for oracle checks at test scale,
+    MORE work than a cross join at production scale; pass them
+    explicitly where that trade is the point.
     """
     from .similarity import CosineLSH, cosine_expr
 

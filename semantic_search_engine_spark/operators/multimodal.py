@@ -39,14 +39,24 @@ def real_decode(payload: bytes, kind: str):
 
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
     """Deterministic fake decode: dims + FEATURE_DIM float feature
-    derived from sha256(payload). Same payload → same feature, which is
-    all the pipeline plumbing tests need."""
-    h = hashlib.sha256(payload).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    n_frames = 1 if kind == "image" else 1 + h[2] % 32
-    raw = np.frombuffer(hashlib.sha256(h).digest() + hashlib.sha256(h + b"x").digest(), dtype=np.uint8)
-    feature = (raw[:FEATURE_DIM].astype(np.float32) / 255.0).astype(np.float32)
+    derived from sha256(payload). Same payload → same feature.
+
+    The derivation chains through HEX STRINGS on purpose: every step is
+    recomputable in ANSI-ish SQL (DuckDB's sha256 takes VARCHAR only),
+    so the whole decode→feature→similarity pipeline is oracle-checkable
+    end-to-end (entry ``multimodal_feature_topk``):
+      h  = hex(sha256(payload))          -- sha256(text) in SQL
+      meta bytes = unhex(h)[0..2]        -- substr(h, 2i+1, 2) as int
+      f  = unhex(hex(sha256(ascii(h))))  -- sha256(sha256(text)) in SQL
+      feature[i] = float32(f[i] / 255.0) -- double divide, then f32 cast
+    """
+    h = hashlib.sha256(payload).hexdigest()
+    hb = bytes.fromhex(h)
+    width = 64 + hb[0] % 192
+    height = 64 + hb[1] % 192
+    n_frames = 1 if kind == "image" else 1 + hb[2] % 32
+    raw = np.frombuffer(hashlib.sha256(h.encode()).digest(), dtype=np.uint8)
+    feature = (raw[:FEATURE_DIM].astype(np.float64) / 255.0).astype(np.float32)
     return width, height, n_frames, feature
 
 

@@ -45,6 +45,10 @@ from .codec import decode_block, decode_blocks_batch
 
 RESULT_SCHEMA = "qid int, k int, docid long, score double"
 
+# broadcasts from prior search_index_wand calls, unpersisted on the next
+# call so executor-side broadcast blocks don't accumulate across batches
+_LIVE_PLAN_BROADCASTS: list = []
+
 
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
@@ -192,8 +196,18 @@ def search_index_wand(
         return _empty_result(spark)
     # ship the query plan + idf map as a broadcast variable (cached once
     # per executor) rather than a UDF closure (re-shipped per task) —
-    # matters once the batch reaches 10^5+ queries
+    # matters once the batch reaches 10^5+ queries. Previous calls'
+    # broadcasts are unpersisted here (NOT destroyed: a still-alive
+    # DataFrame from an earlier call can lazily refetch from the
+    # driver), so repeated batches in a long-lived session keep at most
+    # one plan broadcast resident on executors.
+    while _LIVE_PLAN_BROADCASTS:
+        try:
+            _LIVE_PLAN_BROADCASTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     bc = spark.sparkContext.broadcast((known_plan, idf_map, avgdl))
+    _LIVE_PLAN_BROADCASTS.append(bc)
 
     # Bundle shards into at most ~4×parallelism task groups: shards are
     # docid-disjoint, so any union of whole shards is a valid WAND unit

@@ -42,6 +42,31 @@ def cosine_expr(a, b) -> "F.Column":
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def manhattan_expr(a, b) -> "F.Column":
+    """L1 distance Σ|a_i − b_i| as a pure JVM column expression — the
+    reference's Manhattan metric option (/root/reference/src/PQ.py:139-140),
+    re-expressed as zip_with + aggregate (codegen, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l1_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact Manhattan-nearest top-k (ascending L1, id-asc ties)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = emb.select(
+        F.col(id_col), F.round(manhattan_expr(F.col(vec_col), q), 6).alias("l1")
+    )
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(exclude_ids))
+    return out.orderBy(F.asc("l1"), F.asc(id_col)).limit(k)
+
+
 def cosine_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding", exclude_ids: list[int] | None = None,

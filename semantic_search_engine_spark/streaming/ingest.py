@@ -9,9 +9,13 @@ generations queryable.
 
 Delivery semantics: Spark's streaming checkpoint prevents re-delivery
 across restarts; if a batch IS replayed (crash between ingest and
-checkpoint commit), the generation tag ``stream-batch-<id>`` makes the
-ingest a no-op when complete and a resume when partial — effectively
-exactly-once index contents.
+checkpoint commit), the generation tag ``stream-<sid>-batch-<id>``
+makes the ingest a no-op when complete and a resume when partial —
+effectively exactly-once index contents. ``<sid>`` is a hash of the
+checkpoint location: batch ids are only unique PER CHECKPOINT, so a
+restart with a fresh checkpoint_dir (or a second source stream) starts
+again at batch 0 — without the namespace its tag would match an old
+COMPLETE generation and the new data would be silently skipped.
 
 Compaction policy: ``finalize_every=N`` finalizes every Nth non-empty
 micro-batch (finalize cost is O(total segments), so high-frequency
@@ -45,6 +49,14 @@ def stream_ingest(
     Returns the StreamingQuery; ``trigger`` is passed through (e.g.
     ``{"availableNow": True}`` to drain and stop)."""
     state = {"batches": 0}
+    ckpt = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+    # tag namespace = stable stream identity (checkpoint path hash):
+    # batch ids restart at 0 under a new checkpoint, so the namespace is
+    # what keeps a fresh-checkpoint restart from colliding with an old
+    # complete generation's tag (which would silently skip its data)
+    import hashlib
+
+    stream_id = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[:10]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -57,17 +69,11 @@ def stream_ingest(
             num_shards=num_shards_per_batch,
             text_col=text_col,
             url_col=url_col,
-            tag=f"stream-batch-{batch_id}",
+            tag=f"stream-{stream_id}-batch-{batch_id}",
             finalize=do_finalize,
         )
 
-    writer = (
-        stream_df.writeStream.foreachBatch(handle)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint"),
-        )
-    )
+    writer = stream_df.writeStream.foreachBatch(handle).option("checkpointLocation", ckpt)
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()

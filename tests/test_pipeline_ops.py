@@ -116,6 +116,19 @@ def test_lsh_finds_planted_neighbor(emb):
     assert 3 in set(got["vec_id"]) and 7 in set(got["vec_id"])
 
 
+def test_manhattan_l1_topk(emb):
+    """L1-nearest top-k (F5: the reference's Manhattan metric option)
+    matches a float64 numpy oracle, ascending distance, id-asc ties."""
+    df, m = emb
+    q = [float(x) for x in m[3]]
+    got = similarity.l1_topk(df, q, k=5, exclude_ids=[3]).toPandas()
+    mm = m.astype(np.float64)
+    d = np.abs(mm - np.asarray(q)).sum(1)
+    order = [int(i) for i in np.lexsort((np.arange(len(m)), d)) if i != 3][:5]
+    assert got["vec_id"].tolist() == order
+    assert np.allclose(got["l1"].values, np.round(d[order], 6))
+
+
 def test_embedding_neardup_pairs(emb):
     df, _ = emb
     got = dedup.embedding_neardup_pairs(df, threshold=0.99).toPandas()
@@ -124,14 +137,19 @@ def test_embedding_neardup_pairs(emb):
 
 def test_embedding_neardup_matches_bruteforce(emb):
     """Banded LSH candidates + exact verify must equal the exact
-    all-pairs answer (miss prob ~3e-10 per pair at the default params)."""
+    all-pairs answer under the recall-proof config (2 bits x 40 tables:
+    miss prob ~3e-10 per pair at t=0.45 — passed explicitly; the
+    selective production default would legitimately miss at this low a
+    threshold)."""
     df, m = emb
     mm = m.astype(np.float64)
     nm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
     cos = nm @ nm.T
     n = len(m)
     want = {(i, j) for i in range(n) for j in range(i + 1, n) if cos[i, j] >= 0.45}
-    got = dedup.embedding_neardup_pairs(df, threshold=0.45).toPandas()
+    got = dedup.embedding_neardup_pairs(
+        df, threshold=0.45, num_tables=40, hash_bits=2
+    ).toPandas()
     assert set(zip(got["id_a"], got["id_b"])) == want
 
 

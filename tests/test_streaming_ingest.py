@@ -47,7 +47,7 @@ def test_stream_ingest_matches_batch_build(spark, tmp_path_factory):
     stats = finalize_index(spark, idx)
     assert stats["n_docs"] == N
     gens = index_store.read_generations(idx)
-    assert len(gens) == 2 and all(g["tag"].startswith("stream-batch-") for g in gens)
+    assert len(gens) == 2 and all(g["tag"].startswith("stream-") for g in gens)
 
     build_index(generate_webtext(spark, N), full, num_shards=3)
     queries = generate_queries()[:8]
@@ -55,6 +55,66 @@ def test_stream_ingest_matches_batch_build(spark, tmp_path_factory):
     b = _wand_by_url(spark, idx, queries)
     assert (a["url"].values == b["url"].values).all()
     assert (a["score"].values == b["score"].values).all()
+
+
+def test_fresh_checkpoint_restart_is_not_skipped(spark, tmp_path_factory):
+    """Restarting ingestion with a NEW checkpoint dir restarts batch
+    ids at 0 — the namespaced tag must keep batch 0 of the new stream
+    from matching batch 0 of the old one (silent data loss)."""
+    src1 = str(tmp_path_factory.mktemp("src1"))
+    src2 = str(tmp_path_factory.mktemp("src2"))
+    idx = str(tmp_path_factory.mktemp("ns_idx"))
+    ck1 = str(tmp_path_factory.mktemp("ck1"))
+    ck2 = str(tmp_path_factory.mktemp("ck2"))
+
+    generate_webtext(spark, 200).write.mode("append").parquet(src1)
+    s1 = spark.readStream.schema(SCHEMA).parquet(src1)
+    stream_ingest(s1, idx, num_shards_per_batch=2, checkpoint_dir=ck1,
+                  trigger={"availableNow": True}).awaitTermination(180)
+
+    generate_webtext(spark, 200, start=200).write.mode("append").parquet(src2)
+    s2 = spark.readStream.schema(SCHEMA).parquet(src2)
+    stream_ingest(s2, idx, num_shards_per_batch=2, checkpoint_dir=ck2,
+                  trigger={"availableNow": True}).awaitTermination(180)
+
+    stats = finalize_index(spark, idx)
+    assert stats["n_docs"] == 400  # second stream's batch 0 was NOT skipped
+    gens = index_store.read_generations(idx)
+    assert len(gens) == 2 and gens[0]["tag"] != gens[1]["tag"]
+
+
+def test_crashed_tagged_generation_range_not_reused(spark, tmp_path_factory):
+    """An allocated-but-unfinished TAGGED generation must not have its
+    shard/docid range handed to a later ingest; resuming it afterwards
+    must not collide."""
+    from semantic_search_engine_spark.operators.build import build_segments, ingest_generation
+
+    idx = str(tmp_path_factory.mktemp("crash_idx"))
+    ingest_generation(generate_webtext(spark, 200), idx, num_shards=2, tag="t-a")
+
+    # simulate a crashed tagged ingest: generation recorded, only 1 of
+    # its 2 shards built, finalize never ran
+    crashed_docs = generate_webtext(spark, 200, start=200)
+    crashed = {"shard_base": 2, "docid_base": 200, "docid_ceiling": 400,
+               "num_shards": 2, "tag": "t-crashed"}
+    index_store.append_generation(idx, crashed)
+    build_segments(crashed_docs, idx, num_shards=2, batch_shards=1, max_batches=1,
+                   shard_base=2, docid_base=200)
+
+    # a NEW tagged ingest allocates past the crashed reservation
+    ingest_generation(generate_webtext(spark, 200, start=400), idx, num_shards=2, tag="t-b")
+    gens = index_store.read_generations(idx)
+    new = [g for g in gens if g.get("tag") == "t-b"][0]
+    assert new["shard_base"] >= 4 and new["docid_base"] >= 400
+
+    # resuming the crashed generation (same tag, same docs) completes it
+    stats = ingest_generation(crashed_docs, idx, num_shards=2, tag="t-crashed")
+    assert stats["n_docs"] == 600
+    m = index_store.read_manifest(spark, idx).toPandas()
+    assert m["shard"].is_unique
+    # docid ranges of all shards are pairwise disjoint
+    spans = sorted((r.first_docid, r.last_docid) for r in m.itertuples() if r.n_docs > 0)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
 
 
 def test_stream_replay_is_idempotent(spark, tmp_path_factory):
