@@ -48,13 +48,27 @@ shipped IVF (Report pp.3-11). Re-judged for a shared-nothing engine:
   Python worker's memory per shard — the driver-RAM design this engine
   exists to avoid. IVF + batched exact rerank covers the same
   recall/latency envelope with shuffle-free, partition-pruned plans.
+* **External known-good engine (Faiss / hnswlib) — attempted,
+  unavailable in this runtime.** The reference validated against Faiss
+  (/root/reference/src/Faiss.py:42-77). Here `import faiss` and
+  `import hnswlib` both fail, and installation is impossible: the
+  sandbox has no reachable package index (pip download fails on DNS)
+  and installs are disallowed. The known-good role is filled by two
+  exact, independent scorers at every size: the DuckDB oracle
+  (`scripts/check_entry.py`) and the batched brute-force oracle
+  (`similarity.cosine_topk_batch`) whose results gate the recall
+  column above.
 """
 # reference ladder configs (src/IVF.py:12-20): size → (clusters, n_probe)
+# and the reference's published p50 latency at that size (Report pp.3-4)
 REF_CFG = {
     10_000: (16, 10, 0.04),
     100_000: (64, 10, 0.05),
     1_000_000: (200, 14, 0.2),
     5_000_000: (750, 32, 0.5),
+    10_000_000: (1024, 30, 1.04),
+    15_000_000: (1536, 55, 1.22),
+    20_000_000: (2048, 77, 1.74),
 }
 
 
@@ -62,7 +76,7 @@ def cfg_for(n: int):
     for cap, cfg in sorted(REF_CFG.items()):
         if n <= cap:
             return cfg
-    return (1024, 30, 1.04)
+    return (2048, 77, 1.74)
 
 
 def main() -> None:
@@ -94,22 +108,33 @@ def main() -> None:
         ivf.assigned.count()  # materialize the bucketed cache
         build_s = time.time() - t0
 
+        # exact oracle for ALL queries in ONE batched brute-force job
+        # (a per-query full-scan loop would make 20M-row recall eval
+        # nq× the work for the same answer)
+        exact_pdf = similarity.cosine_topk_batch(emb, queries, k=K).toPandas()
+        exact = {int(qi): set(g["vec_id"]) for qi, g in exact_pdf.groupby("qid")}
+
+        # single-query latency (one Spark job per query — floor is job
+        # scheduling, not data; kept for comparability with round 1/2)
         ivf.search(queries[0], k=K, n_probe=n_probe).collect()  # warm
-        lats, hits = [], 0
+        lats = []
         for q in queries:
             t0 = time.time()
-            got = {r["vec_id"] for r in ivf.search(q, k=K, n_probe=n_probe).collect()}
+            ivf.search(q, k=K, n_probe=n_probe).collect()
             lats.append(time.time() - t0)
-            exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=K).collect()}
-            hits += len(got & exact)
         lats.sort()
         p50 = lats[len(lats) // 2]
-        recall = hits / (K * n_queries)
 
+        # batched serving — the HEADLINE path at scale (one job per
+        # batch); recall measured on its results
         ivf.search_batch(queries[:2], k=K, n_probe=n_probe).collect()  # warm
         t0 = time.time()
-        ivf.search_batch(queries, k=K, n_probe=n_probe).collect()
+        batch_rows = ivf.search_batch(queries, k=K, n_probe=n_probe).collect()
         batch_s = (time.time() - t0) / n_queries
+        got: dict[int, set] = {}
+        for r in batch_rows:
+            got.setdefault(int(r["qid"]), set()).add(r["vec_id"])
+        recall = sum(len(got.get(qi, set()) & exact[qi]) for qi in exact) / (K * n_queries)
 
         t0 = time.time()
         similarity.cosine_topk(emb, queries[0], k=K).collect()
@@ -145,11 +170,18 @@ def main() -> None:
         )
     md += [
         "",
-        "Latency here is a full Spark job per query (scheduling + scan of",
-        "the cached bucketed table + JVM cosine on probed buckets) — the",
-        "scale path is the same plan at 10^9 rows across executors, where",
-        "per-query cost is dominated by the probed buckets only. The",
-        "reference is a single-process NumPy loop with everything in RAM.",
+        "**batched /query is the headline serving number**: at scale the",
+        "serving shape is query BATCHES (one Spark job amortized over the",
+        "batch — `IVFIndex.search_batch`), and recall@5 above is measured",
+        "on exactly that path against a batched exact brute-force oracle",
+        "(`similarity.cosine_topk_batch`). p50/query is the single-query",
+        "column: one full Spark job per query, whose ~0.3 s floor is job",
+        "scheduling + cached-table scan, not data volume — kept for",
+        "comparability with the reference's one-at-a-time loop. The",
+        "reference is a single-process NumPy loop with everything in RAM;",
+        "this plan is the same one that runs at 10^9 rows across",
+        "executors, where per-query cost is dominated by the probed",
+        "buckets only.",
         ALTERNATIVES_NOTE,
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -35,19 +35,26 @@ def _kill_strays() -> None:
     time.sleep(2)
 
 
-def run(master: str, cores: int, n_docs: int) -> dict:
+def run(master: str, cores: int, n_docs: int, reps: int = 1, queries: int | None = None) -> dict:
     _kill_strays()
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=master,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_BENCH_DOCS=str(n_docs),
-        SPARK_GRAFT_BENCH_QUERIES=str(BENCH_QUERIES),
+        SPARK_GRAFT_BENCH_QUERIES=str(queries if queries is not None else BENCH_QUERIES),
         SPARK_GRAFT_EXEC_MEM="6g",
         SPARK_GRAFT_BENCH_ONLY="build,wand",
-        # this script medians at the axis level (repeat runs); one suite
-        # rep per subprocess keeps per-config wall time bounded
-        SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"),
+        # bench.py medians over reps in-process (per-rep raws ride in
+        # its JSON); the SLO-bearing threads axis runs reps=3, the
+        # cluster axes (documented host pathology) stay at 1 for wall
+        SPARK_GRAFT_BENCH_REPS=str(reps),
+        # strong-scaling fairness: pin the build's Arrow-group
+        # decomposition to the SAME 32 groups at every parallelism
+        # level (n_groups = gpc × cores; capped at num_shards), so N
+        # and 4N run identical work units — see the bundling sweep in
+        # the pathology section (BENCH/build_group_sweep.jsonl)
+        SSSE_BUILD_GROUPS_PER_CPU=str(max(1, 32 // cores)),
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     t0 = time.time()
@@ -80,17 +87,21 @@ def run_mp_control() -> dict:
 
 
 def main() -> None:
-    t2 = run("local[2]", 2, THREADS_DOCS)
-    t8 = run("local[8]", 8, THREADS_DOCS)
+    t2 = run("local[2]", 2, THREADS_DOCS, reps=3)
+    t8 = run("local[8]", 8, THREADS_DOCS, reps=3)
     p1 = run("local-cluster[1,8,8192]", 8, PROCS_DOCS)
     p4 = run("local-cluster[4,8,8192]", 32, PROCS_DOCS)
     s1 = run("local-cluster[1,2,8192]", 2, PROCS_DOCS)
     s4 = run("local-cluster[4,2,8192]", 8, PROCS_DOCS)
+    # serving-at-scale row: one 10^4-query WAND batch on the 2M-doc
+    # index (the 100-TB serving claim is BATCH throughput; known_plan
+    # broadcast + per-group bookkeeping costs only show at this width)
+    b10k = run("local[8]", 8, THREADS_DOCS, reps=1, queries=10_000)
     mp_ctl = run_mp_control()
 
     rows = []
     for label, lo, hi in (
-        (f"threads: local[2] → local[8] ({THREADS_DOCS:,} docs)", t2, t8),
+        (f"threads: local[2] → local[8] ({THREADS_DOCS:,} docs; MEDIAN of 3 in-process reps)", t2, t8),
         (f"executors: 1×8 → 4×8 local-cluster ({PROCS_DOCS:,} docs)", p1, p4),
         (f"executors: 1×2 → 4×2 local-cluster ({PROCS_DOCS:,} docs; ≤2 streams/JVM)", s1, s4),
     ):
@@ -130,6 +141,18 @@ meets the north rule; the gap between this control and the Spark rows
 is this VM's concurrency tax on JVM threads + Arrow worker streams
 (measured below), which a multi-host cluster does not share.
 
+## Serving at batch scale (10⁴-query WAND batch)
+
+One {10_001:,}-query block-max-WAND batch over the {THREADS_DOCS:,}-doc
+index at local[8]: **{10_001 / b10k['queries']['wand_batch']:,.0f} q/s**
+({b10k['queries']['wand_batch']:.1f} s total,
+{1000 * b10k['query_p50_sec']:.2f} ms/query amortized; the
+{BENCH_QUERIES + 1}-query batch above runs at
+{(BENCH_QUERIES + 1) / t8['queries']['wand_batch']:,.0f} q/s). Batch
+throughput is the 100-TB serving claim; this width makes the per-batch
+fixed costs — known_plan/idf broadcast, per-(query, group) bookkeeping
+in the shard kernels — visible in the q/s delta between the two widths.
+
 Companion reports: `BENCH/RECALL.md` (pruned-path recall vs brute
 force, the reference's evaluation harness) and `BENCH/ANN_LADDER.md`
 (IVF latency at the reference's published size axis).
@@ -143,6 +166,7 @@ Raw JSON:
 {json.dumps(p4)}
 {json.dumps(s1)}
 {json.dumps(s4)}
+{json.dumps(b10k)}
 {json.dumps(mp_ctl)}
 ```
 
@@ -162,6 +186,34 @@ of ALL cpu in **sys** time with <10% user. Controls:
 | 1 JVM, 32 threads, pure codegen sha2 | only 1.4× over 8 threads |
 | 4 executor JVMs × 8 cores, Arrow-UDF build stage | **slower** than 1×8 |
 | knobs tried at local[8] | arrow batch 100k/5k, 2-4× shuffle partitions, worker reuse off — all neutral or worse |
+| Arrow-group bundling sweep (2M docs, median-of-3; `scripts/build_group_sweep.py`) | see below |
+
+### Mitigation attempted: fewer, fatter Arrow streams (group bundling)
+
+The SPIMI kernel now bundles shards into `SSSE_BUILD_GROUPS_PER_CPU ×
+parallelism` applyInPandas groups (one fat Arrow stream per task
+instead of one per shard) — the hypothesis was that the measured
+group-pipeline stall shrinks with stream count. Measured (2M docs,
+median of 3, local[2] → local[8] docs/s):
+
+| groups at 2 / 8 threads | local[2] | local[8] | eff |
+|---|---|---|---|
+| 2 / 8 (1×cpus — fattest) | 8,904 | 27,711 | 0.778 |
+| 8 / 32 (4×cpus) | 18,856 | 43,370 | 0.575 |
+| 134 / 134 (per-shard) | 16,436 | 45,899 | 0.698 |
+
+Read the ABSOLUTE column, not just eff: fat groups collapse throughput
+at both levels (a 1M-row pandas group is memory-bound — the 0.778 eff
+is an artifact of the slowed 2-thread baseline, not a win), while
+everything from 32 groups up is equivalent within this host's ±10-20%
+run noise at BOTH levels. Stream count is not the residual bottleneck.
+In-kernel write/encode overlap was considered and rejected by control:
+the raw-mp control runs the SAME kernel with the SAME file writes and
+scales 0.917, so writes do not serialize across workers. Default is
+4×cpus — at cluster scale it bounds concurrent Arrow streams at the
+task count instead of the shard count (10⁶–10⁷ at 100 TB) with no
+measured cost; the scaling table above pins 32 groups at both levels so
+N and 4N execute identical work units.
 
 i.e. the engine's kernels scale on real hardware; this host's kernel
 serializes the JVM↔python socket traffic beyond ~8-16 concurrent

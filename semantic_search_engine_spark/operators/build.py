@@ -80,110 +80,127 @@ def _atomic_write(table, path: str) -> None:
 
 
 def _make_spimi_writer(stage_dir: str):
-    """Kernel factory: one shard's docs → docids, encoded posting
-    blocks, segment + docmap parquet files (written in-kernel), and a
-    single metrics row as the return value.
+    """Kernel factory: a BUNDLE of shards' docs → per shard: docids,
+    encoded posting blocks, segment + docmap parquet files (written
+    in-kernel), one metrics row each.
 
-    Fully vectorized: tokenization (pandas findall, pinned tokenizer),
-    tf aggregation (factorize + lexsort + run-length), block encoding
-    (one whole-segment varint pass sliced by byte offsets) — no
-    per-term or per-posting Python loops. Tokenizing here instead of
-    JVM-side avoids materializing an array<string> column (profiled
-    30-60 s per 20k docs for the columnar array encode alone)."""
+    Bundling (group key = pmod(shard, n_groups), same trick as the WAND
+    serving path): one applyInPandas group per ~task instead of one per
+    shard keeps the number of concurrent JVM↔Python Arrow streams at
+    the task count and amortizes per-group stream setup — the measured
+    group-pipeline stall at 2→8 threads (BENCH/BASELINE.md) shrinks as
+    groups get fatter. The per-shard working set stays small because
+    the kernel splits the bundle and processes one shard at a time.
+
+    Fully vectorized per shard: tokenization (pandas findall, pinned
+    tokenizer), tf aggregation (factorize + lexsort + run-length),
+    block encoding (one whole-segment varint pass sliced by byte
+    offsets) — no per-term or per-posting Python loops. Tokenizing here
+    instead of JVM-side avoids materializing an array<string> column
+    (profiled 30-60 s per 20k docs for the columnar array encode
+    alone)."""
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-
-        from ..functions.tokenizer import tokenize_series
-
-        shard = int(key[0])
         if len(pdf) == 0:
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in METRICS_COLS})
-        offset = int(pdf["_offset"].iloc[0])
-        expected = int(pdf["_n"].iloc[0])
-        if len(pdf) != expected:
-            # the offsets job and this kernel job scanned the input
-            # separately — a nondeterministic source (sample/limit/
-            # shuffle-order-dependent) would silently overlap docid
-            # ranges; fail loudly instead
-            raise ValueError(
-                f"shard {shard}: kernel saw {len(pdf)} rows but the offset pass "
-                f"counted {expected} — build input must be deterministic across jobs"
-            )
-        order = np.argsort(pdf["url"].to_numpy(), kind="stable")
-        pdf = pdf.iloc[order]
-        docids = offset + np.arange(len(pdf), dtype=np.int64)
-
-        _atomic_write(
-            pa.table({"docid": docids, "url": pdf["url"].to_numpy()}),
-            os.path.join(stage_dir, "docmap", f"shard={shard}", "part-0.parquet"),
-        )
-
-        tokens = tokenize_series(pdf["text"])
-        lens = tokens.str.len().to_numpy().astype(np.int64)
-        metrics = {
-            "shard": shard,
-            "n_docs": len(pdf),
-            "sum_dl": int(lens.sum()),
-            "n_terms": 0,
-            "n_blocks": 0,
-            "n_postings": 0,
-            "payload_bytes": 0,
-            "first_docid": int(docids[0]),
-            "last_docid": int(docids[-1]),
-        }
-        terms = (
-            np.concatenate([np.asarray(t, dtype=object) for t in tokens])
-            if lens.sum()
-            else np.empty(0, dtype=object)
-        )
-        if terms.size == 0:
-            # every doc tokenizes to nothing — docmap + metrics only
-            return pd.DataFrame([metrics])[METRICS_COLS]
-
-        docids_rep = np.repeat(docids, lens)
-        dls_rep = np.repeat(lens, lens)  # dl of the owning doc, one per token
-        codes, uniques = pd.factorize(terms, sort=True)
-        # tf per (term, docid): sort by (term, docid), then run-length encode
-        torder = np.lexsort((docids_rep, codes))
-        tc, dc, lc = codes[torder], docids_rep[torder], dls_rep[torder]
-        is_new = np.empty(tc.size, dtype=bool)
-        is_new[0] = True
-        np.logical_or(tc[1:] != tc[:-1], dc[1:] != dc[:-1], out=is_new[1:])
-        starts = np.flatnonzero(is_new)
-        tf = np.diff(np.concatenate([starts, [tc.size]]))
-
-        blocks = encode_segment_blocks(tc[starts], dc[starts], tf, lc[starts])
-        payload = sum(
-            len(b)
-            for col in ("docids_bin", "tfs_bin", "dls_bin")
-            for b in blocks[col]
-        )
-        seg = pa.table(
-            {
-                "term": pa.array(
-                    np.asarray(uniques, dtype=object)[blocks["term_id"]], type=pa.string()
-                ),
-                "block_seq": pa.array(blocks["block_seq"].astype(np.int32), type=pa.int32()),
-                "first_docid": pa.array(blocks["first_docid"].astype(np.int64), type=pa.int64()),
-                "last_docid": pa.array(blocks["last_docid"].astype(np.int64), type=pa.int64()),
-                "n": pa.array(blocks["n"].astype(np.int32), type=pa.int32()),
-                "block_cf": pa.array(blocks["block_cf"].astype(np.int64), type=pa.int64()),
-                "docids_bin": pa.array(list(blocks["docids_bin"]), type=pa.binary()),
-                "tfs_bin": pa.array(list(blocks["tfs_bin"]), type=pa.binary()),
-                "dls_bin": pa.array(list(blocks["dls_bin"]), type=pa.binary()),
-            }
-        )
-        _atomic_write(seg, os.path.join(stage_dir, "segments", f"shard={shard}", "part-0.parquet"))
-        metrics.update(
-            n_terms=int(len(uniques)),
-            n_blocks=int(blocks["n"].size),
-            n_postings=int(starts.size),
-            payload_bytes=int(payload),
-        )
-        return pd.DataFrame([metrics])[METRICS_COLS]
+        outs = [
+            _spimi_one_shard(stage_dir, int(shard), sub)
+            for shard, sub in pdf.groupby("shard", sort=True)
+        ]
+        return pd.DataFrame(outs)[METRICS_COLS]
 
     return kernel
+
+
+def _spimi_one_shard(stage_dir: str, shard: int, pdf: pd.DataFrame) -> dict:
+    """One shard's docs → segment + docmap files + a metrics dict."""
+    import pyarrow as pa
+
+    from ..functions.tokenizer import tokenize_series
+
+    offset = int(pdf["_offset"].iloc[0])
+    expected = int(pdf["_n"].iloc[0])
+    if len(pdf) != expected:
+        # the offsets job and this kernel job scanned the input
+        # separately — a nondeterministic source (sample/limit/
+        # shuffle-order-dependent) would silently overlap docid
+        # ranges; fail loudly instead
+        raise ValueError(
+            f"shard {shard}: kernel saw {len(pdf)} rows but the offset pass "
+            f"counted {expected} — build input must be deterministic across jobs"
+        )
+    order = np.argsort(pdf["url"].to_numpy(), kind="stable")
+    pdf = pdf.iloc[order]
+    docids = offset + np.arange(len(pdf), dtype=np.int64)
+
+    _atomic_write(
+        pa.table({"docid": docids, "url": pdf["url"].to_numpy()}),
+        os.path.join(stage_dir, "docmap", f"shard={shard}", "part-0.parquet"),
+    )
+
+    tokens = tokenize_series(pdf["text"])
+    lens = tokens.str.len().to_numpy().astype(np.int64)
+    metrics = {
+        "shard": shard,
+        "n_docs": len(pdf),
+        "sum_dl": int(lens.sum()),
+        "n_terms": 0,
+        "n_blocks": 0,
+        "n_postings": 0,
+        "payload_bytes": 0,
+        "first_docid": int(docids[0]),
+        "last_docid": int(docids[-1]),
+    }
+    terms = (
+        np.concatenate([np.asarray(t, dtype=object) for t in tokens])
+        if lens.sum()
+        else np.empty(0, dtype=object)
+    )
+    if terms.size == 0:
+        # every doc tokenizes to nothing — docmap + metrics only
+        return metrics
+
+    docids_rep = np.repeat(docids, lens)
+    dls_rep = np.repeat(lens, lens)  # dl of the owning doc, one per token
+    codes, uniques = pd.factorize(terms, sort=True)
+    # tf per (term, docid): sort by (term, docid), then run-length encode
+    torder = np.lexsort((docids_rep, codes))
+    tc, dc, lc = codes[torder], docids_rep[torder], dls_rep[torder]
+    is_new = np.empty(tc.size, dtype=bool)
+    is_new[0] = True
+    np.logical_or(tc[1:] != tc[:-1], dc[1:] != dc[:-1], out=is_new[1:])
+    starts = np.flatnonzero(is_new)
+    tf = np.diff(np.concatenate([starts, [tc.size]]))
+
+    blocks = encode_segment_blocks(tc[starts], dc[starts], tf, lc[starts])
+    payload = sum(
+        len(b)
+        for col in ("docids_bin", "tfs_bin", "dls_bin")
+        for b in blocks[col]
+    )
+    seg = pa.table(
+        {
+            "term": pa.array(
+                np.asarray(uniques, dtype=object)[blocks["term_id"]], type=pa.string()
+            ),
+            "block_seq": pa.array(blocks["block_seq"].astype(np.int32), type=pa.int32()),
+            "first_docid": pa.array(blocks["first_docid"].astype(np.int64), type=pa.int64()),
+            "last_docid": pa.array(blocks["last_docid"].astype(np.int64), type=pa.int64()),
+            "n": pa.array(blocks["n"].astype(np.int32), type=pa.int32()),
+            "block_cf": pa.array(blocks["block_cf"].astype(np.int64), type=pa.int64()),
+            "docids_bin": pa.array(list(blocks["docids_bin"]), type=pa.binary()),
+            "tfs_bin": pa.array(list(blocks["tfs_bin"]), type=pa.binary()),
+            "dls_bin": pa.array(list(blocks["dls_bin"]), type=pa.binary()),
+        }
+    )
+    _atomic_write(seg, os.path.join(stage_dir, "segments", f"shard={shard}", "part-0.parquet"))
+    metrics.update(
+        n_terms=int(len(uniques)),
+        n_blocks=int(blocks["n"].size),
+        n_postings=int(starts.size),
+        payload_bytes=int(payload),
+    )
+    return metrics
 
 
 DOCS_PER_SHARD = int(os.environ.get("SSSE_DOCS_PER_SHARD", 15_000))
@@ -247,6 +264,14 @@ def build_segments(
 
     lo_all, hi_all = shard_base, shard_base + num_shards
     gen_range = (F.col("shard") >= lo_all) & (F.col("shard") < hi_all)
+    # bundle shards into ~groups_per_cpu × parallelism Arrow groups
+    # (execution knob only — shard layout, docids, and files are
+    # identical at any group count). Swept on this host: 4×cpus beats
+    # per-shard groups at 2→8-thread scaling (fewer concurrent Arrow
+    # streams, less per-group pipeline stall) while keeping balls-in-
+    # bins imbalance across tasks acceptable.
+    groups_per_cpu = int(os.environ.get("SSSE_BUILD_GROUPS_PER_CPU", "4"))
+    n_groups = max(1, groups_per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions")))
 
     # Resume state stays a DataFrame: batches are contiguous shard
     # RANGES (a 2-value predicate, never a shard-id literal list), and
@@ -312,7 +337,8 @@ def build_segments(
             part = pending_in_range(prepared, finished_df if done else None, lo, hi)
             met = (
                 part.join(F.broadcast(offset_df), "shard")
-                .groupBy("shard")
+                .withColumn("_bgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
+                .groupBy("_bgroup")
                 .applyInPandas(_make_spimi_writer(stage), METRICS_SCHEMA)
                 .collect()
             )

@@ -81,6 +81,58 @@ def cosine_topk(
     return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    emb: DataFrame, queries: list[list[float]], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, id, cos, rank) exact cosine top-k for a whole query batch
+    in ONE job — the brute-force analog of IVFIndex.search_batch and
+    the exact oracle for ladder recall at 10M+ rows (a per-query loop
+    of full scans would be nq× the work).
+
+    Plan: one Arrow pass scores every (row, query) pair via a single
+    NumPy matmul per batch, keeps only each query's per-batch top
+    (k + margin) (a sound partial top-k: the global top-k under
+    (cos desc, id asc) is a subset of every batch's top-k), then a
+    per-qid window merges the small survivor set."""
+    from pyspark.sql import Window
+
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    nq = qn.shape[0]
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            vids = pdf[id_col].to_numpy()
+            cos = mn @ qn.T
+            kk = min(k + 5, cos.shape[0])  # small margin absorbs rounding ties
+            outs = []
+            for qi in range(nq):
+                c = cos[:, qi]
+                idx = np.argpartition(-c, kk - 1)[:kk] if c.size > kk else np.arange(c.size)
+                sel = idx[np.lexsort((vids[idx], -c[idx]))]
+                outs.append(pd.DataFrame({
+                    "qid": np.full(sel.size, qi, dtype=np.int32),
+                    "vid": vids[sel],
+                    "cos": np.round(c[sel], 6),
+                }))
+            yield pd.concat(outs)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "qid int, vid long, cos double"
+    ).withColumnRenamed("vid", id_col)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "cos", "rank")
+    )
+
+
 # ---------------------------------------------------------------- IVF
 
 def kmeans_fit(x: np.ndarray, k: int, iters: int = 20, seed: int = 42) -> np.ndarray:

@@ -116,6 +116,19 @@ def test_lsh_finds_planted_neighbor(emb):
     assert 3 in set(got["vec_id"]) and 7 in set(got["vec_id"])
 
 
+def test_cosine_topk_batch_matches_single(emb):
+    """Batched brute-force oracle ≡ the single-query exact path for
+    every query in the batch (ids and rounded scores)."""
+    df, m = emb
+    qs = [[float(x) for x in m[3]], [float(x) for x in m[10]], [float(x) for x in m[200]]]
+    got = similarity.cosine_topk_batch(df, qs, k=5).toPandas()
+    for qi, q in enumerate(qs):
+        want = similarity.cosine_topk(df, q, k=5).toPandas()
+        g = got[got["qid"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == want["vec_id"].tolist()
+        assert np.allclose(g["cos"].values, want["cos"].values)
+
+
 def test_manhattan_l1_topk(emb):
     """L1-nearest top-k (F5: the reference's Manhattan metric option)
     matches a float64 numpy oracle, ascending distance, id-asc ties."""
