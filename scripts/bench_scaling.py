@@ -75,15 +75,31 @@ def eff(lo_rate: float, hi_rate: float) -> float:
     return round(hi_rate / (4.0 * lo_rate), 3)
 
 
-def run_mp_control() -> dict:
+def run_mp_control(reps: int = 3) -> dict:
     """The exact SPIMI kernel via raw multiprocessing (no JVM/Arrow) —
-    what the algorithmic decomposition scales to on this host."""
-    out = subprocess.run(
-        [sys.executable, "scripts/host_control_mp.py"], cwd=REPO,
-        capture_output=True, text=True, timeout=1200,
-    )
-    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    return json.loads(lines[-1]) if lines else {}
+    what the algorithmic decomposition scales to on this host. Median
+    of ``reps`` (single runs have produced 0.75–1.3 "efficiency" across
+    rounds — the p2 leg is hostage to background host load)."""
+    import statistics
+
+    runs = []
+    for _ in range(reps):
+        out = subprocess.run(
+            [sys.executable, "scripts/host_control_mp.py"], cwd=REPO,
+            capture_output=True, text=True, timeout=1200,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            runs.append(json.loads(lines[-1]))
+    if not runs:
+        return {}
+    med = dict(runs[len(runs) // 2])
+    for k in ("wall_p2", "wall_p8", "speedup_2_to_8", "efficiency"):
+        med[k] = round(statistics.median(r[k] for r in runs), 3)
+    med["reps"] = [
+        {k: r[k] for k in ("wall_p2", "wall_p8", "efficiency")} for r in runs
+    ]
+    return med
 
 
 def main() -> None:
@@ -224,6 +240,18 @@ multi-executor cluster the per-executor stream count is exactly the
 kernels — the contention measured here does not exist there by
 construction (nothing is shared across hosts except the shuffle, which
 is one fetch per reduce partition).
+
+### Cross-run (day-to-day) variance — why single numbers here can't be compared
+
+The same configs measured across rounds: per-shard-group build eff
+0.577 (round 2) vs 0.698 (round 3 sweep) vs 0.632 (this file's 32-group
+row); the 4×8 cluster row 0.219 (round 2) vs 0.124 (this run); the raw
+multiprocessing control 0.917 (round 2) vs occasionally >1.0 single
+runs (a superlinear "efficiency" just means the 2-proc leg ran while
+the host was loaded — it is now medianed over 3). Within-run rep
+spreads of 10-20% are visible in the Raw JSON `reps` arrays. Treat any
+two numbers from different runs as comparable only beyond ~±25%; the
+within-run medians above are the numbers to quote.
 
 ## Reference comparison (BASELINE.md)
 
