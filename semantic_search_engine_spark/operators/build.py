@@ -548,8 +548,24 @@ def ingest_generation(
             shard_hwm, docid_hwm = int(agg["s"]) + 1, int(agg["d"]) + 1
         for g in gens:
             shard_hwm = max(shard_hwm, int(g["shard_base"]) + int(g["num_shards"]))
-            # pre-ceiling log records (older layouts) fall back to base
-            docid_hwm = max(docid_hwm, int(g.get("docid_ceiling", g["docid_base"])))
+            if "docid_ceiling" in g:
+                docid_hwm = max(docid_hwm, int(g["docid_ceiling"]))
+            elif complete(g):
+                # complete pre-ceiling generation (older log layout): its
+                # committed docids are already in the manifest max above
+                docid_hwm = max(docid_hwm, int(g["docid_base"]))
+            else:
+                # an INCOMPLETE pre-ceiling generation has an unknowable
+                # reserved docid extent — allocating past docid_base could
+                # collide with its uncommitted shards when it later
+                # resumes. Refuse rather than risk duplicate docids.
+                raise ValueError(
+                    f"generations log contains an incomplete pre-ceiling record "
+                    f"(shard_base={g['shard_base']}, docid_base={g['docid_base']}, "
+                    f"tag={g.get('tag')!r}) whose reserved docid range is unknown; "
+                    f"resume that ingest (same docs/tag) to completion before "
+                    f"allocating a new generation"
+                )
         gen = {
             "shard_base": shard_hwm,
             "docid_base": docid_hwm,

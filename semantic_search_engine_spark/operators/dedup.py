@@ -150,13 +150,33 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def auto_hash_bits(n: int, rows_per_bucket: int = 64) -> int:
+    """Size-tiered LSH bucket width: buckets/table ≈ n / rows_per_bucket
+    (buckets grow linearly with corpus size, so per-bucket candidate
+    pair counts — and therefore the banded join's output — stay
+    ~linear in n instead of n²). Clamped to [4, 24] bits."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n / rows_per_bucket, 1.0)))))
+
+
+def neardup_miss_probability(threshold: float, num_tables: int, hash_bits: int) -> float:
+    """P(a pair at exactly ``threshold`` cosine collides in NO table):
+    (1 − p^bits)^tables with p = 1 − arccos(t)/π (sign-LSH collision
+    probability per hyperplane)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return (1.0 - p**hash_bits) ** num_tables
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 8,
-    hash_bits: int = 8,
+    hash_bits: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, cos) — sign-LSH banded candidate generation + exact
@@ -168,19 +188,38 @@ def embedding_neardup_pairs(
     Recall vs candidate volume: a pair at cosine t collides in one
     table with probability p^bits, p = 1 - arccos(t)/π; the pair is
     MISSED with probability (1 - p^bits)^tables; expected candidate
-    volume is ~tables · n² / 2^bits for near-uniform buckets. The
-    defaults (8 bits × 8 tables) are the PRODUCTION near-dup config:
-    at the thresholds dedup actually uses (t ≥ 0.95, p ≈ 0.90) miss
-    ≈ (1 − 0.90⁸)⁸ ≈ 1.2%, with 256 buckets/table keeping candidate
-    counts ~n²/32 of all-pairs. Raise ``hash_bits`` with corpus size
-    (buckets should grow ~linearly with n to bound per-bucket pair
-    counts). Low-bit/high-table configs (e.g. 2 bits × 40 tables:
-    miss ≤ 3e-10 at t = 0.45) intentionally degenerate toward
+    volume is ~tables · n² / 2^bits for near-uniform buckets.
+    ``hash_bits=None`` (the default) derives the bucket width from the
+    corpus size via :func:`auto_hash_bits` — buckets/table ∝ n, so the
+    banded join's candidate volume stays ~linear in n (the docstring
+    rule of earlier rounds, now the default). At the thresholds dedup
+    actually uses (t ≥ 0.95, p ≈ 0.90) 8 tables keep miss ≈ 1–2% at
+    production widths. Low-bit/high-table configs (e.g. 2 bits × 40
+    tables: miss ≤ 3e-10 at t = 0.45) intentionally degenerate toward
     all-pairs — recall-proof settings for oracle checks at test scale,
     MORE work than a cross join at production scale; pass them
     explicitly where that trade is the point.
+
+    A ``UserWarning`` is emitted when the configured (tables, bits)
+    miss more than 5% of pairs at the requested ``threshold`` — the
+    silent-recall-loss trap of passing a selective config with a low
+    threshold (raise ``num_tables`` or lower ``hash_bits`` to fix).
     """
     from .similarity import CosineLSH, cosine_expr
+
+    if hash_bits is None:
+        hash_bits = auto_hash_bits(emb.count())
+    miss = neardup_miss_probability(threshold, num_tables, hash_bits)
+    if miss > 0.05:
+        import warnings
+
+        warnings.warn(
+            f"embedding_neardup_pairs: at threshold={threshold} the LSH config "
+            f"({num_tables} tables x {hash_bits} bits) misses ~{100 * miss:.1f}% of "
+            f"qualifying pairs; raise num_tables or lower hash_bits for recall",
+            UserWarning,
+            stacklevel=2,
+        )
 
     lsh = CosineLSH.build(
         emb, num_tables=num_tables, hash_bits=hash_bits,

@@ -14,10 +14,13 @@ order instead, in two passes:
                Window.partitionBy(bucket).orderBy(url) - 1)
 
 Properties at 10^12 docs: one shuffle (by bucket), per-partition sort
-only (no global sort), zero O(P) driver state (the offset table lives
-in a broadcast, never a collect), deterministic for any input
-partitioning, and **docid ranges are contiguous per bucket** — which
-later lets segment merge concatenate posting runs instead of
+only (no global sort), no persistent driver-side Python state (the
+offset table rides a JVM broadcast — building it does pass the P
+offset rows through the driver transiently, and the unpartitioned
+Window sorts the P count rows in one task; both are O(P) with P =
+shuffle partitions, thousands, not O(rows)), deterministic for any
+input partitioning, and **docid ranges are contiguous per bucket** —
+which later lets segment merge concatenate posting runs instead of
 re-sorting them.
 """
 

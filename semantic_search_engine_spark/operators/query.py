@@ -181,7 +181,19 @@ def search_index_wand(
     ANY tie-break survives. Soundness: a doc with score strictly below
     its shard's k-th score already has k better-scored docs in that
     shard alone, so no tie-break can pull it into the global top-k.
-    The default (False) pins ties on internal docid, exactly k rows."""
+    The default (False) pins ties on internal docid, exactly k rows.
+
+    The two dials are mutually exclusive: ``keep_boundary_ties``'s
+    all-ties guarantee relies on exact pruning (θ·1.0) — an inflated
+    threshold can drop whole blocks holding tie docs — so combining it
+    with ``theta_factor != 1.0`` raises rather than silently voiding
+    the guarantee."""
+    if keep_boundary_ties and theta_factor != 1.0:
+        raise ValueError(
+            "keep_boundary_ties guarantees every possible tie-break survivor "
+            "only under exact pruning; theta_factor must be 1.0 with it "
+            f"(got {theta_factor})"
+        )
     spark = reader.spark
     plan, terms = _query_plan(queries)
     idf_map = reader.idf_map(terms)

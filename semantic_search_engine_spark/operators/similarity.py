@@ -91,10 +91,15 @@ def cosine_topk_batch(
     of full scans would be nq× the work).
 
     Plan: one Arrow pass scores every (row, query) pair via a single
-    NumPy matmul per batch, keeps only each query's per-batch top
-    (k + margin) (a sound partial top-k: the global top-k under
-    (cos desc, id asc) is a subset of every batch's top-k), then a
-    per-qid window merges the small survivor set."""
+    NumPy matmul per batch, keeps per query every row whose ROUNDED
+    score ties-or-beats the batch's rounded k-th value (a sound partial
+    top-k with boundary ties kept: the final window orders by the
+    rounded score, and any row it could rank ≤ k must round-tie or beat
+    the k-th rounded score of every batch it appears in — so selecting
+    by the unrounded score with a fixed margin, as an earlier revision
+    did, could evict a member of a long rounding-tie run, while
+    ``>= rounded k-th`` cannot), then a per-qid window merges the
+    survivor set."""
     from pyspark.sql import Window
 
     qm = np.asarray(queries, dtype=np.float64)
@@ -108,17 +113,19 @@ def cosine_topk_batch(
             m = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             vids = pdf[id_col].to_numpy()
-            cos = mn @ qn.T
-            kk = min(k + 5, cos.shape[0])  # small margin absorbs rounding ties
+            cos = np.round(mn @ qn.T, 6)
             outs = []
             for qi in range(nq):
                 c = cos[:, qi]
-                idx = np.argpartition(-c, kk - 1)[:kk] if c.size > kk else np.arange(c.size)
-                sel = idx[np.lexsort((vids[idx], -c[idx]))]
+                if c.size > k:
+                    kth = np.partition(c, c.size - k)[c.size - k]
+                    sel = np.flatnonzero(c >= kth)  # keep boundary ties
+                else:
+                    sel = np.arange(c.size)
                 outs.append(pd.DataFrame({
                     "qid": np.full(sel.size, qi, dtype=np.int32),
                     "vid": vids[sel],
-                    "cos": np.round(c[sel], 6),
+                    "cos": c[sel],
                 }))
             yield pd.concat(outs)
 
@@ -297,6 +304,93 @@ class IVFIndex:
             .filter(F.col("rank") <= k)
             .select("qid", id_col, "cos", "rank")
         )
+
+
+class LocalIVFProbe:
+    """Driver-local single-query probe over a SAVED IVF index directory
+    — no Spark job at all.
+
+    ``IVFIndex.search`` is the distributed probe: correct plan shape at
+    100 TB, but a one-row-answer Spark job pays the ~0.3 s scheduling
+    floor, which is why the single-query ladder column trailed the
+    reference's in-RAM loop (/root/reference/src/IVF.py:159-191 — it
+    memmaps exactly the probed cluster's file region). This is that
+    move re-derived for the Spark index layout: ``IVFIndex.save``
+    already partitions vectors BY BUCKET on disk, so the probed
+    ``bucket=N`` directories can be read directly with pyarrow in the
+    driver process and scored with the same NumPy kernel — k≤10
+    lookups never touch the cluster, batches keep using
+    ``IVFIndex.search_batch``.
+
+    Results are EXACTLY ``IVFIndex.search`` rows (same centroid
+    scoring, same 6-dp rounding, same (cos desc, id asc) tie-break) —
+    pytest-asserted in tests/test_recall.py.
+
+    ``cache_buckets`` keeps the most recently probed buckets decoded
+    (ids + L2-normalized matrix) in an LRU dict, so a serving process
+    converges to in-RAM probes for hot buckets while cold buckets cost
+    one parquet directory read. Memory is bounded by
+    cache_buckets × bucket size, not corpus size."""
+
+    def __init__(self, path: str, cache_buckets: int = 256):
+        import json
+        from collections import OrderedDict
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        self.path = path
+        self.id_col = meta["id_col"]
+        self.vec_col = meta["vec_col"]
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self._cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cache_cap = cache_buckets
+
+    def _bucket(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, normalized (n, d) matrix) for one bucket partition."""
+        if b in self._cache:
+            self._cache.move_to_end(b)
+            return self._cache[b]
+        import pyarrow.dataset as ds
+
+        d = os.path.join(self.path, "vectors", f"bucket={b}")
+        if not os.path.isdir(d):  # empty bucket: no partition directory
+            out = (np.empty(0, np.int64), np.empty((0, self.centroids.shape[1])))
+        else:
+            t = ds.dataset(d, format="parquet").to_table(columns=[self.id_col, self.vec_col])
+            ids = t.column(self.id_col).to_numpy()
+            flat = t.column(self.vec_col).combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            m = flat.astype(np.float64).reshape(len(ids), -1)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            out = (ids, m)
+        self._cache[b] = out
+        if len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+        return out
+
+    def search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
+        """[(id, cos)] — identical rows to ``IVFIndex.search(...)``."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        scores = self._cn @ (q / np.linalg.norm(q))
+        probe = [int(b) for b in np.argsort(scores)[-n_probe:]]
+        parts = [self._bucket(b) for b in probe]
+        ids = np.concatenate([p[0] for p in parts])
+        if ids.size == 0:
+            return []
+        mn = np.vstack([p[1] for p in parts])
+        cos = np.round(mn @ (q / np.linalg.norm(q)), 6)
+        if cos.size > k:
+            # select by the rounded k-th value KEEPING ties, then order —
+            # argpartition alone could keep the wrong member of a
+            # rounding-tie run at the k boundary (id-asc is the tie rule)
+            kth = np.partition(cos, cos.size - k)[cos.size - k]
+            idx = np.flatnonzero(cos >= kth)
+        else:
+            idx = np.arange(cos.size)
+        order = idx[np.lexsort((ids[idx], -cos[idx]))][:k]
+        return [(int(ids[i]), float(cos[i])) for i in order]
 
 
 # ---------------------------------------------------------------- PQ
