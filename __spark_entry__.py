@@ -344,6 +344,29 @@ def q_multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_bmp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline with a REAL decoder: deterministic
+    uncompressed-BMP payloads (one per document id, variable w×h) →
+    Arrow-batched genuine pixel parse (header fields, row padding, BGR
+    order — multimodal.real_decode) → 4×4 mean-pooled luminance grid
+    feature → cosine top-10 against asset 0's feature. No SQL oracle
+    (pixel parsing is not SQL-expressible); decode correctness is
+    golden-tested against independent NumPy pixel math in
+    tests/test_round4.py, and rows here are deterministic."""
+    docs = _docs(spark, sf_dir)
+    assets = multimodal.synthetic_bmp_assets(docs)
+    feats = multimodal.extract_features(assets, decode="real")
+    qv = [float(x) for x in feats.filter(F.col("asset_id") == 0).select("feature").first()[0]]
+    qcol = F.array(*[F.lit(x) for x in qv])
+    cos = F.round(similarity.cosine_expr(F.col("feature"), qcol), 6)
+    return (
+        feats.filter(F.col("asset_id") != 0)
+        .select("asset_id", "width", "height", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("asset_id"))
+        .limit(10)
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall-proof config, passed EXPLICITLY: 2 bits x 40 tables gives
     # miss <= 3e-10 at t=0.45 so the DuckDB all-pairs oracle matches
@@ -500,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_fullprobe": q_ann_ivfpq_fullprobe,
         "ann_manhattan_topk": q_ann_manhattan_topk,
         "multimodal_feature_topk": q_multimodal_feature_topk,
+        "multimodal_bmp_topk": q_multimodal_bmp_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_label_centroids": q_embedding_label_centroids,
         "tpch_q1": q_tpch_q1,

@@ -125,6 +125,37 @@ def main() -> None:
         lats.sort()
         p50 = lats[len(lats) // 2]
 
+        # single-query LOCAL probe: the reference's serving shape (one
+        # in-process lookup over only the probed clusters) — saved
+        # bucket-partitioned index + pyarrow directory reads, no Spark
+        # job (similarity.LocalIVFProbe; results ≡ ivf.search, pytest).
+        # cold = first probe ever (bucket parquet reads); p50 = steady
+        # serving with the LRU bucket cache warm, like the reference's
+        # memmapped loop.
+        import shutil as _sh
+        import tempfile as _tf
+
+        idx_dir = _tf.mkdtemp(prefix="ssse_ladder_ivf_")
+        t0 = time.time()
+        ivf.save(idx_dir)
+        save_s = time.time() - t0
+        local = similarity.LocalIVFProbe(idx_dir)
+        t0 = time.time()
+        first = local.search(queries[0], k=K, n_probe=n_probe)
+        local_cold = time.time() - t0
+        assert [r["vec_id"] for r in ivf.search(queries[0], k=K, n_probe=n_probe).collect()] == [
+            i for i, _ in first
+        ]
+        local_lats = []
+        local_results: dict[int, list[int]] = {}
+        for qi, q in enumerate(queries):
+            t0 = time.time()
+            got = local.search(q, k=K, n_probe=n_probe)
+            local_lats.append(time.time() - t0)
+            local_results[qi] = [i for i, _ in got]
+        local_lats.sort()
+        local_p50 = local_lats[len(local_lats) // 2]
+
         # batched serving — the HEADLINE path at scale (one job per
         # batch); recall measured on its results
         ivf.search_batch(queries[:2], k=K, n_probe=n_probe).collect()  # warm
@@ -132,9 +163,27 @@ def main() -> None:
         batch_rows = ivf.search_batch(queries, k=K, n_probe=n_probe).collect()
         batch_s = (time.time() - t0) / n_queries
         got: dict[int, set] = {}
-        for r in batch_rows:
+        ordered: dict[int, list] = {}
+        for r in sorted(batch_rows, key=lambda r: (r["qid"], r["rank"])):
             got.setdefault(int(r["qid"]), set()).add(r["vec_id"])
+            ordered.setdefault(int(r["qid"]), []).append(int(r["vec_id"]))
         recall = sum(len(got.get(qi, set()) & exact[qi]) for qi in exact) / (K * n_queries)
+
+        # the reference's OWN quality metric (tolerance score, 0 =
+        # perfect; −rank only when a result ranks beyond 3·k exactly —
+        # /root/reference/src/evaluation.py:41-61) computed on the SAME
+        # served results the latency columns time, so latency and
+        # quality are paired at identical configs. Its published ladder
+        # reports 0 at every size; strict recall@5 is the harsher
+        # companion column.
+        from semantic_search_engine_spark.operators.evaluation import (
+            reference_scores_for_results,
+        )
+
+        scores = reference_scores_for_results(emb, queries, ordered, k=K, n=n)
+        ref_score = sum(scores.values()) / max(len(scores), 1)
+        local_scores = reference_scores_for_results(emb, queries, local_results, k=K, n=n)
+        ref_score_local = sum(local_scores.values()) / max(len(local_scores), 1)
 
         t0 = time.time()
         similarity.cosine_topk(emb, queries[0], k=K).collect()
@@ -143,12 +192,19 @@ def main() -> None:
             {
                 "n": n, "clusters": clusters, "n_probe": n_probe,
                 "gen_s": round(gen_s, 1), "build_s": round(build_s, 1),
-                "p50_s": round(p50, 4), "batch_per_q_s": round(batch_s, 4), "brute_s": round(brute_s, 3),
-                "recall_at_5": round(recall, 3), "ref_p50_s": ref_lat,
+                "p50_s": round(p50, 4),
+                "local_p50_s": round(local_p50, 4), "local_cold_s": round(local_cold, 3),
+                "save_s": round(save_s, 1),
+                "batch_per_q_s": round(batch_s, 4), "brute_s": round(brute_s, 3),
+                "recall_at_5": round(recall, 3),
+                "ref_score": round(ref_score, 2), "ref_score_local": round(ref_score_local, 2),
+                "ref_p50_s": ref_lat,
             }
         )
-        print(f"n={n:,}: build {build_s:.1f}s  p50 {p50*1000:.0f}ms  batch {batch_s*1000:.0f}ms/q  "
-              f"recall@5 {recall:.3f}  brute {brute_s*1000:.0f}ms  (ref {ref_lat}s)")
+        print(f"n={n:,}: build {build_s:.1f}s  p50 {p50*1000:.0f}ms  local {local_p50*1000:.1f}ms "
+              f"(cold {local_cold*1000:.0f}ms)  batch {batch_s*1000:.0f}ms/q  "
+              f"recall@5 {recall:.3f}  ref_score {ref_score:.2f}  brute {brute_s*1000:.0f}ms  (ref {ref_lat}s)")
+        _sh.rmtree(idx_dir, ignore_errors=True)
         ivf.assigned.unpersist()
         emb.unpersist()
 
@@ -160,28 +216,44 @@ def main() -> None:
         "same workload shape, seeded 64-d vectors, this sandbox, "
         f"local[{cpus}].",
         "",
-        "| rows | clusters | n_probe | IVF build (s) | p50/query (s) | batched /query (s) | recall@5 | brute/query (s) | reference p50 (s) |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| rows | clusters | n_probe | IVF build (s) | spark p50/query (s) | LOCAL p50/query (s) | local cold (s) | batched /query (s) | recall@5 | ref score | brute/query (s) | reference p50 (s) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         md.append(
             f"| {r['n']:,} | {r['clusters']} | {r['n_probe']} | {r['build_s']} "
-            f"| {r['p50_s']} | {r['batch_per_q_s']} | {r['recall_at_5']} | {r['brute_s']} | {r['ref_p50_s']} |"
+            f"| {r['p50_s']} | **{r['local_p50_s']}** | {r['local_cold_s']} "
+            f"| {r['batch_per_q_s']} | {r['recall_at_5']} | {r['ref_score']} | {r['brute_s']} | {r['ref_p50_s']} |"
         )
     md += [
         "",
-        "**batched /query is the headline serving number**: at scale the",
-        "serving shape is query BATCHES (one Spark job amortized over the",
-        "batch — `IVFIndex.search_batch`), and recall@5 above is measured",
-        "on exactly that path against a batched exact brute-force oracle",
-        "(`similarity.cosine_topk_batch`). p50/query is the single-query",
-        "column: one full Spark job per query, whose ~0.3 s floor is job",
-        "scheduling + cached-table scan, not data volume — kept for",
-        "comparability with the reference's one-at-a-time loop. The",
-        "reference is a single-process NumPy loop with everything in RAM;",
-        "this plan is the same one that runs at 10^9 rows across",
-        "executors, where per-query cost is dominated by the probed",
-        "buckets only.",
+        "**Serving columns.** `batched /query` is the throughput headline:",
+        "query BATCHES through one amortized Spark job",
+        "(`IVFIndex.search_batch`), recall measured on exactly that path",
+        "against the batched exact brute-force oracle",
+        "(`similarity.cosine_topk_batch`). **`LOCAL p50/query` is the",
+        "single-query headline**: `similarity.LocalIVFProbe` reads ONLY the",
+        "probed `bucket=N` partition directories of the saved index via",
+        "pyarrow in the serving process — no Spark job, the reference's",
+        "memmap-a-cluster move re-derived for the bucket-partitioned",
+        "layout; rows are pytest-identical to `IVFIndex.search`. `local",
+        "cold` is the first-ever probe (bucket parquet reads before the LRU",
+        "bucket cache warms). `spark p50/query` keeps the full-Spark-job",
+        "column for continuity — its ~0.3 s scheduling floor is why",
+        "LocalIVFProbe exists; k≤10 lookups never need a cluster job.",
+        "",
+        "**ref score** is the REFERENCE'S tolerance metric (0 = perfect;",
+        "−rank per result ranked beyond 3·k in the exact order, −n per",
+        "missing — /root/reference/src/evaluation.py:41-61, re-derived in",
+        "`operators/evaluation.py` with rank-by-counting so no full sort is",
+        "needed), computed on the same served results as the latency",
+        "columns and averaged over the query set. The reference publishes",
+        "score 0 at every ladder size; a near-0 value here at matching",
+        "(clusters, n_probe) makes the latency comparison",
+        "quality-controlled by the reference's own yardstick, while strict",
+        "recall@5 remains the harsher companion (every rank-≤-3k",
+        "substitution that the tolerance score forgives counts against",
+        "recall@5).",
         ALTERNATIVES_NOTE,
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

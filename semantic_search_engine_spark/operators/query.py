@@ -158,6 +158,7 @@ def search_index_wand(
     queries: list[dict],
     theta_factor: float = 1.0,
     keep_boundary_ties: bool = False,
+    distributed_idf: bool | None = None,
 ) -> DataFrame:
     """(qid, rank, docid, score) via per-shard block-max pruning.
 
@@ -187,23 +188,43 @@ def search_index_wand(
     all-ties guarantee relies on exact pruning (θ·1.0) — an inflated
     threshold can drop whole blocks holding tie docs — so combining it
     with ``theta_factor != 1.0`` raises rather than silently voiding
-    the guarantee."""
+    the guarantee.
+
+    ``distributed_idf`` (default: auto at > ``SSSE_IDF_COLLECT_MAX``
+    distinct terms, 100k) removes the one remaining driver-bound
+    structure at mega-batch width: instead of collecting a term→idf
+    dict to the driver (and pushing a giant ``isin`` literal into the
+    scan), the distinct query terms become a small DataFrame that is
+    broadcast-joined against the dictionary for idf and then against
+    the postings as the scan filter — the idf values ride the block
+    rows into each shard kernel, which rebuilds its (tiny) local slice
+    of the map from the group's own columns. Results are identical to
+    the collected path (pytest-asserted); per-query OOV handling moves
+    into the kernel, where a term with no postings in any group simply
+    contributes no blocks."""
     if keep_boundary_ties and theta_factor != 1.0:
         raise ValueError(
             "keep_boundary_ties guarantees every possible tie-break survivor "
             "only under exact pruning; theta_factor must be 1.0 with it "
             f"(got {theta_factor})"
         )
+    import os as _os
+
     spark = reader.spark
     plan, terms = _query_plan(queries)
-    idf_map = reader.idf_map(terms)
-    if not idf_map:
-        return _empty_result(spark)
-    avgdl = float(reader.stats["avgdl"])
-    known_plan = [
-        (qid, k, [t for t in ts if t in idf_map]) for qid, k, ts in plan
-    ]
-    known_plan = [(q, k, ts) for q, k, ts in known_plan if ts]
+    if distributed_idf is None:
+        distributed_idf = len(terms) > int(_os.environ.get("SSSE_IDF_COLLECT_MAX", "100000"))
+    if distributed_idf:
+        idf_map = None
+        known_plan = [(q, k, ts) for q, k, ts in plan if ts]
+    else:
+        idf_map = reader.idf_map(terms)
+        if not idf_map:
+            return _empty_result(spark)
+        known_plan = [
+            (qid, k, [t for t in ts if t in idf_map]) for qid, k, ts in plan
+        ]
+        known_plan = [(q, k, ts) for q, k, ts in known_plan if ts]
     if not known_plan:
         return _empty_result(spark)
     # ship the query plan + idf map as a broadcast variable (cached once
@@ -218,6 +239,7 @@ def search_index_wand(
             _LIVE_PLAN_BROADCASTS.pop().unpersist(blocking=False)
         except Exception:
             pass
+    avgdl = float(reader.stats["avgdl"])
     bc = spark.sparkContext.broadcast((known_plan, idf_map, avgdl))
     _LIVE_PLAN_BROADCASTS.append(bc)
 
@@ -228,16 +250,25 @@ def search_index_wand(
     # queries on this host: 4×cpus beats 1×/2×/8×/16× at both 400k and
     # 2M docs (smaller groups balance better and keep tighter σ bounds;
     # beyond that, per-(query, group) bookkeeping dominates).
-    import os as _os
-
     per_cpu = int(_os.environ.get("SSSE_WAND_GROUPS_PER_CPU", "4"))
     n_groups = per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    blocks = reader.postings().filter(F.col("term").isin(list(idf_map))).withColumn(
-        "_qgroup", F.pmod(F.col("shard"), F.lit(n_groups))
-    )
+    if distributed_idf:
+        # term filter + idf as a broadcast JOIN instead of an isin
+        # literal + driver dict: scales to 10^6-distinct-term batches
+        # with zero O(terms) Python state on the driver
+        terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+        term_idf = reader.dictionary().join(F.broadcast(terms_df), "term").select("term", "idf")
+        blocks = reader.postings().join(F.broadcast(term_idf), "term")
+    else:
+        blocks = reader.postings().filter(F.col("term").isin(list(idf_map)))
+    blocks = blocks.withColumn("_qgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
 
     def wand_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         known_plan, idf_map, avgdl = bc.value
+        if idf_map is None:  # distributed idf: rebuild this group's slice
+            idf_map = {
+                t: float(v) for t, v in zip(pdf["term"].to_numpy(), pdf["idf"].to_numpy())
+            }
         if len(pdf) == 0:
             return pd.DataFrame(
                 {c: pd.Series(dtype=t) for c, t in

@@ -173,3 +173,213 @@ def test_legacy_incomplete_generation_refuses_new_allocation(spark, tmp_path_fac
         ingest_generation(
             generate_webtext(spark, 200, start=300), d, num_shards=2, tag="new-ingest"
         )
+
+
+# ---------------------------------------------------------- reference scorer
+
+def test_reference_score_semantics():
+    from semantic_search_engine_spark.operators.evaluation import reference_score
+
+    k, n = 5, 1000
+    rank = {10: 0, 11: 1, 12: 2, 13: 3, 14: 15, 15: 16, 16: 999}
+    assert reference_score([10, 11, 12, 13, 14], rank, k, n) == 0.0     # all <= 3k
+    assert reference_score([10, 11, 12, 13, 15], rank, k, n) == -16.0   # 16 > 3k -> -rank
+    assert reference_score([10, 11, 12, 13, 16], rank, k, n) == -999.0
+    assert reference_score([10, 11, 12, 13, 777], rank, k, n) == -n     # missing
+    assert reference_score([10, 10, 11, 12, 13], rank, k, n) == -n * k  # duplicate
+    assert reference_score([10, 11, 12], rank, k, n) == -n * k          # short list
+
+
+def test_exact_ranks_match_numpy(spark):
+    from semantic_search_engine_spark.operators.evaluation import exact_ranks
+
+    emb = generate_vectors(spark, 500, dim=16).cache()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = generate_query_vectors(3, dim=16)
+    qn = np.asarray(queries, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    cos = mn @ qn.T
+    targets = {}
+    want = {}
+    for qi in range(3):
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -cos[:, qi]))
+        # mix of head, mid, tail positions
+        picks = [int(pdf["vec_id"].iloc[order[p]]) for p in (0, 3, 17, 250, 499)]
+        targets[qi] = picks
+        want[qi] = {picks[i]: p for i, p in enumerate((0, 3, 17, 250, 499))}
+    got = exact_ranks(emb, queries, targets)
+    assert got == want
+    emb.unpersist()
+
+
+def test_reference_score_zero_for_exact_serving(spark):
+    """Full-probe IVF (== brute force) must score 0 — the reference's
+    'perfect' — for every query, wiring scorer + rank job + serving."""
+    from semantic_search_engine_spark.operators.evaluation import reference_scores_for_results
+
+    n, k = 1500, 5
+    emb = generate_vectors(spark, n, dim=16).cache()
+    emb.count()
+    ivf = similarity.IVFIndex.build(emb, n_clusters=6, sample_cap=1000)
+    queries = generate_query_vectors(4, dim=16)
+    rows = ivf.search_batch(queries, k=k, n_probe=6).collect()
+    results = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        results.setdefault(int(r["qid"]), []).append(int(r["vec_id"]))
+    scores = reference_scores_for_results(emb, queries, results, k=k, n=n)
+    assert scores == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}
+    ivf.assigned.unpersist()
+    emb.unpersist()
+
+
+# ---------------------------------------------------------- real BMP/PPM decode
+
+def test_bmp_roundtrip_golden():
+    """encode → decode recovers the exact pixel array (bottom-up and
+    top-down, odd width exercising 4-byte row padding), and the header
+    golden bytes match the BMP spec fields."""
+    from semantic_search_engine_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # w=3 → 9-byte rows pad to 12
+    for top_down in (False, True):
+        payload = mm.encode_bmp(px, top_down=top_down)
+        assert payload[:2] == b"BM"
+        import struct
+        assert struct.unpack_from("<I", payload, 10)[0] == 54      # data offset
+        assert struct.unpack_from("<i", payload, 18)[0] == 3       # width
+        assert abs(struct.unpack_from("<i", payload, 22)[0]) == 5  # height
+        assert struct.unpack_from("<H", payload, 28)[0] == 24      # bpp
+        assert len(payload) == 54 + 5 * 12
+        back = mm.decode_bmp_pixels(payload)
+        assert (back == px).all(), top_down
+
+    # handcrafted 1x2 golden: red then green pixel, bottom-up single row
+    gold = mm.encode_bmp(np.array([[[255, 0, 0], [0, 255, 0]]], dtype=np.uint8))
+    # row stored BGR with 2 pad bytes: FF red -> 00 00 FF, green -> 00 FF 00
+    assert gold[54:62] == bytes([0, 0, 255, 0, 255, 0, 0, 0])
+
+
+def test_ppm_decode():
+    from semantic_search_engine_spark.operators import multimodal as mm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert (mm.decode_ppm_pixels(payload) == px).all()
+    gray = np.array([[7, 9], [11, 13]], dtype=np.uint8)
+    pgm = b"P5 2 2 255 " + gray.tobytes()
+    back = mm.decode_ppm_pixels(pgm)
+    assert (back == gray[:, :, None]).all()
+
+
+def test_real_decode_feature_is_grid_mean():
+    """real_decode's feature must equal independently computed 4×4
+    block means of the grayscale image, /255 — genuine pixel math, not
+    a hash."""
+    from semantic_search_engine_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+    w, h, n_frames, feat = mm.real_decode(mm.encode_bmp(px), "image")
+    assert (w, h, n_frames) == (13, 10, 1)
+    g = px.astype(np.float64).mean(axis=2)
+    want = []
+    for rows in np.array_split(g, 4, axis=0):
+        for blk in np.array_split(rows, 4, axis=1):
+            want.append(blk.mean() / 255.0)
+    assert np.allclose(feat, np.array(want, dtype=np.float32))
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"\x89PNG....", "image")
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"BM" + b"\x00" * 60, "audio")
+
+
+def test_bmp_pipeline_entry_deterministic(spark):
+    """The real-decode Spark pipeline end-to-end on the sf0.001 tables:
+    deterministic rows, widths/heights matching the synthesizer's
+    (seed, id) recipe, repeat-identical."""
+    import __spark_entry__ as entry
+    from semantic_search_engine_spark.operators import multimodal as mm
+
+    sf = "/root/testdata/sf0.001"
+    a = entry.q_multimodal_bmp_topk(spark, sf).collect()
+    b = entry.q_multimodal_bmp_topk(spark, sf).collect()
+    assert a == b and len(a) == 10
+    for r in a:
+        i = int(r["asset_id"])
+        assert r["width"] == 8 + i % 9 and r["height"] == 8 + (i // 7) % 9
+    # spot-check one row's cosine against pure-NumPy recompute
+    def feat_of(i):
+        rng = np.random.default_rng([42, i])
+        w, h = 8 + i % 9, 8 + (i // 7) % 9
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        return mm.real_decode(mm.encode_bmp(px), "image")[3].astype(np.float64)
+
+    q = feat_of(0)
+    i = int(a[0]["asset_id"])
+    f = feat_of(i)
+    cos = float(np.round((f @ q) / (np.linalg.norm(f) * np.linalg.norm(q)), 6))
+    assert abs(cos - a[0]["cos"]) < 2e-6
+
+
+# ---------------------------------------------------------- distributed idf
+
+def test_wand_distributed_idf_identical(spark, tmp_path_factory):
+    """The broadcast-join idf path (mega-batch mode) must produce
+    hash-identical rows to the collected-dict path, including OOV and
+    mixed-known-term queries."""
+    from semantic_search_engine_spark.fixtures.webtext import generate_queries, generate_webtext
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+
+    d = str(tmp_path_factory.mktemp("idx_didf"))
+    build_index(generate_webtext(spark, 2000), d)
+    reader = IndexReader(spark, d)
+    queries = generate_queries(n_queries=40)  # includes the OOV query
+    queries.append({"qid": 900, "query": "zzznope the", "k": 7})  # mixed OOV+known
+
+    def rows(**kw):
+        return sorted(
+            (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+            for r in search_index_wand(reader, queries, **kw).collect()
+        )
+
+    assert rows(distributed_idf=True) == rows(distributed_idf=False)
+
+
+def test_wand_distributed_idf_wide_batch(spark, tmp_path_factory):
+    """A batch whose distinct-term count (3k) far exceeds a tiny forced
+    SSSE_IDF_COLLECT_MAX auto-switches to the distributed path and
+    still matches the collected path."""
+    import os
+
+    from semantic_search_engine_spark.fixtures.webtext import generate_webtext, vocab
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+
+    d = str(tmp_path_factory.mktemp("idx_wide"))
+    build_index(generate_webtext(spark, 1000), d)
+    reader = IndexReader(spark, d)
+    v = vocab()
+    rng = np.random.default_rng(5)
+    queries = []
+    for qid in range(1500):  # ~3000 distinct terms incl many tail/OOV
+        t1 = str(v[int(rng.integers(0, len(v)))])
+        t2 = f"neverseen{qid}" if qid % 3 == 0 else str(v[int(rng.integers(0, len(v)))])
+        queries.append({"qid": qid, "query": f"{t1} {t2}", "k": 5})
+
+    want = sorted(
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in search_index_wand(reader, queries, distributed_idf=False).collect()
+    )
+    os.environ["SSSE_IDF_COLLECT_MAX"] = "100"
+    try:
+        got = sorted(
+            (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+            for r in search_index_wand(reader, queries).collect()  # auto → distributed
+        )
+    finally:
+        del os.environ["SSSE_IDF_COLLECT_MAX"]
+    assert got == want and len(got) > 0
