@@ -75,7 +75,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from semantic_search_engine_spark.fixtures.webtext import generate_queries, generate_webtext
     from semantic_search_engine_spark.operators.build import build_index
-    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        LocalIndexProbe,
+        search_index_wand,
+    )
     from semantic_search_engine_spark.session import get_spark
 
     # SPARK_GRAFT_MASTER overrides (e.g. local-cluster[4,8,8192] for real
@@ -145,6 +149,25 @@ def main() -> None:
                 cold["cold_first_wand5_sec"] = round(time.perf_counter() - t0, 3)
             res = timed("wand_batch", lambda: search_index_wand(reader, queries).collect())
             assert len(res) > 0
+
+            # driver-local single-query serving (LocalIndexProbe: pyarrow
+            # term-filtered reads + the shared scoring kernel, no Spark
+            # job). Cold = fresh probe, term cache empty (per-query
+            # parquet reads); warm = same probe, cache resident — the
+            # reference's in-RAM loop shape.
+            if selected is None or "wand_local" in selected:
+                probe = LocalIndexProbe(idx_dir)
+                t0 = time.perf_counter()
+                for q in queries:
+                    probe.search(q["query"], k=q["k"])  # warm the term cache
+                if rep == 0:
+                    cold["cold_local_text_allq_sec"] = round(time.perf_counter() - t0, 3)
+
+                def local_all():
+                    for q in queries:
+                        probe.search(q["query"], k=q["k"])
+
+                timed("wand_local_allq", local_all)
             shutil.rmtree(idx_dir, ignore_errors=True)
 
             suite = {
@@ -189,6 +212,10 @@ def main() -> None:
                 "reps": rep_timings,
                 "build_docs_per_sec": round(n_bench_docs / med["build_index_webtext"], 1),
                 "query_p50_sec": round(med["wand_batch"] / len(queries), 4),
+                "query_local_p50_sec": (
+                    round(med["wand_local_allq"] / len(queries), 5)
+                    if "wand_local_allq" in med else None
+                ),
                 # cold-start cost (first-ever build / first-ever query in
                 # this JVM: python-worker spawn, JIT, codegen) next to the
                 # steady-state medians above — both visible, nothing hidden

@@ -384,3 +384,99 @@ def search_index_wand(
             .select("qid", "rank", "docid", "score")
         )
     return _topk_window(local)
+
+
+class LocalIndexProbe:
+    """Driver-local single-query BM25 top-k over a saved index
+    directory — the text-side twin of ``similarity.LocalIVFProbe``.
+
+    The distributed paths are the right plan for query BATCHES (one
+    amortized job), but a single k≤10 lookup pays the ~0.3 s Spark
+    job-scheduling floor for a 10-row answer. This probe serves it
+    entirely in-process, reading per query ONLY the query terms'
+    posting blocks: a pyarrow dataset scan with a ``term isin`` filter
+    (parquet row-group statistics skip non-matching row groups — the
+    postings are term-sorted per shard, the same pruning the Spark
+    scan pushes down), decoded by the shared vectorized varint codec
+    and scored by the SAME ``_score_candidates`` kernel with the same
+    sorted-term float64 accumulation order and the same
+    (score desc, docid asc) tie rule — so rows are identical to
+    ``search_index_wand`` / ``search_index_exhaustive`` at θ·1.0
+    (pytest-asserted). The reference's serving shape
+    (/root/reference/src/IVF.py:159-191: memmap, touch only probed
+    regions, heapq the candidates) re-derived for the text index.
+
+    An LRU cache keeps the most recent ``cache_terms`` terms' decoded
+    postings (and idf) resident, so hot-term serving converges to pure
+    in-RAM scoring; memory is bounded by the cached terms' posting
+    sizes, not the corpus."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 4096):
+        from collections import OrderedDict
+
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        self.index_dir = index_dir
+        stats = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
+        self.avgdl = float(stats["avgdl"])
+        self.n_docs = int(stats["n_docs"])
+        self._post = ds.dataset(f"{index_dir}/postings", format="parquet")
+        self._dict = ds.dataset(f"{index_dir}/dictionary", format="parquet")
+        self._ds = ds
+        # term -> (idf, docids, tfs, dls) | None for known-OOV terms
+        self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
+        self._cache_cap = cache_terms
+
+    def _load_terms(self, terms: list[str]) -> dict[str, tuple]:
+        miss = [t for t in terms if t not in self._cache]
+        if miss:
+            ds = self._ds
+            idf_tbl = self._dict.to_table(
+                columns=["term", "idf"], filter=ds.field("term").isin(miss)
+            )
+            idf_by_term = dict(
+                zip(idf_tbl.column("term").to_pylist(), idf_tbl.column("idf").to_pylist())
+            )
+            blk = self._post.to_table(
+                columns=["term", "first_docid", "n", "docids_bin", "tfs_bin", "dls_bin"],
+                filter=ds.field("term").isin(miss),
+            ).to_pandas()
+            for t in miss:
+                if t not in idf_by_term:
+                    self._cache[t] = None  # OOV — cached as such
+                    continue
+                rows = blk[blk["term"] == t].sort_values("first_docid")
+                d, tf, dl, _ = decode_blocks_batch(
+                    rows["first_docid"].to_numpy(), rows["n"].to_numpy(),
+                    rows["docids_bin"], rows["tfs_bin"], rows["dls_bin"],
+                )
+                # shards are docid-disjoint and runs are first_docid-
+                # ordered, so the concatenation is already sorted-unique
+                self._cache[t] = (float(idf_by_term[t]), d, tf, dl)
+        out = {}
+        for t in terms:
+            self._cache.move_to_end(t)
+            if self._cache[t] is not None:
+                out[t] = self._cache[t]
+        while len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+        return out
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+        """[(rank, docid, score)] — identical rows to the distributed
+        exact paths for this (query, k)."""
+        terms = sorted(set(tokenize(query)))
+        loaded = self._load_terms(terms)
+        if not loaded:
+            return []
+        idf_map = {t: v[0] for t, v in loaded.items()}
+        per_term = {t: (v[1], v[2], v[3]) for t, v in loaded.items()}
+        cands = np.unique(np.concatenate([v[1] for v in loaded.values()]))
+        scores = _score_candidates(cands, per_term, idf_map, self.avgdl)
+        if scores.size > k:
+            kth = np.partition(scores, scores.size - k)[scores.size - k]
+            sel = np.flatnonzero(scores >= kth)
+            cands, scores = cands[sel], scores[sel]
+        order = np.lexsort((cands, -scores))[:k]
+        return [(r + 1, int(cands[i]), float(scores[i])) for r, i in enumerate(order)]

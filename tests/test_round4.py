@@ -383,3 +383,36 @@ def test_wand_distributed_idf_wide_batch(spark, tmp_path_factory):
     finally:
         del os.environ["SSSE_IDF_COLLECT_MAX"]
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------- local text probe
+
+def test_local_index_probe_equals_wand(spark, tmp_path_factory):
+    """LocalIndexProbe (driver-side pyarrow reads + shared scoring
+    kernel) must return exactly the distributed exact paths' rows for
+    the full reference query set, including the OOV query, and again
+    from a warm (and a deliberately tiny, evicting) term cache."""
+    from semantic_search_engine_spark.fixtures.webtext import generate_queries, generate_webtext
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        LocalIndexProbe,
+        search_index_wand,
+    )
+
+    d = str(tmp_path_factory.mktemp("idx_localtext"))
+    build_index(generate_webtext(spark, 1500), d)
+    reader = IndexReader(spark, d)
+    queries = generate_queries(n_queries=30)  # + trailing OOV query
+    want_rows = search_index_wand(reader, queries).collect()
+    want: dict[int, list] = {}
+    for r in sorted(want_rows, key=lambda r: (r["qid"], r["rank"])):
+        want.setdefault(int(r["qid"]), []).append((r["rank"], r["docid"], r["score"]))
+
+    for probe in (LocalIndexProbe(d), LocalIndexProbe(d, cache_terms=3)):
+        for q in queries:
+            got = probe.search(q["query"], k=q["k"])
+            assert got == want.get(int(q["qid"]), []), q
+        # warm-cache pass must be identical
+        q0 = queries[0]
+        assert probe.search(q0["query"], k=q0["k"]) == want.get(int(q0["qid"]), [])
