@@ -19,7 +19,9 @@ Layout
 - ``sources/``    corpus + index table readers/writers (parquet now,
                   Iceberg-ready behind an import-try)
 - ``plans/``      explain/plan-audit helpers
-- ``streaming/``  out of scope (reference has no streaming — SURVEY §2.9)
+- ``streaming/``  Structured Streaming ingest → tagged LSM generations
+                  (replay-idempotent foreachBatch; beyond the reference,
+                  which has no streaming — SURVEY §2.9)
 """
 
 __version__ = "0.1.0"
