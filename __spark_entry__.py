@@ -198,6 +198,61 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 """
 
 
+PHRASE_QUERY = "merge group"  # occurs adjacently in ~0.9% of docs
+
+
+def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase (adjacency-exact) retrieval: conjunctive candidate cut →
+    codegen adjacency verification against stored text → BM25 top-k
+    over the phrase terms (operators/topk.py:search_phrase). The
+    positionless phrase plan — candidates ≪ corpus get their text
+    re-checked; no positional index required."""
+    from semantic_search_engine_spark.operators.topk import search_phrase
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+    stats = corpus_stats(docs)
+    postings = term_frequencies(docs)
+    scored = scored_postings(postings, doc_freq(postings), stats)
+    res = search_phrase(scored, docs, PHRASE_QUERY, BM25_K).withColumnRenamed("docid", "doc_id")
+    return res.select(
+        "doc_id",
+        F.row_number().over(_rank_window()).alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_phrase_oracle(k: int) -> str:
+    words = PHRASE_QUERY.split()
+    terms = ", ".join(f"'{t}'" for t in sorted(set(words)))
+    adj = " AND ".join(f"ts[i+{j}] = '{w}'" for j, w in enumerate(words))
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+ph AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts) - {len(words) - 2})) AS i
+    FROM (SELECT doc_id, {tok} AS ts FROM documents)
+  ) WHERE {adj}
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+       JOIN ph ON tf.doc_id = ph.doc_id CROSS JOIN st
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = (SELECT count(DISTINCT term) FROM q)
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
 def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("term"))
@@ -505,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
+        "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
@@ -613,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_conjunctive_topk": _bm25_conjunctive_oracle(BM25_K),
+        "bm25_phrase_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)

@@ -70,6 +70,68 @@ def search_conjunctive(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
     )
 
 
+def phrase_match_expr(ts, words: list[str]):
+    """JVM boolean column: token array ``ts`` contains ``words`` as an
+    ADJACENT subsequence (exact order). Pure higher-order expression —
+    exists(sequence(1, size-L+1), i -> ∧_j ts[i+j] = w_j) — so phrase
+    verification stays inside whole-stage codegen, no Python. The
+    size guard matters: Spark's sequence(start, stop) steps BACKWARD
+    when stop < start, which would probe nonsense windows."""
+    L = len(words)
+
+    def window_matches(i):
+        cond = None
+        for j, w in enumerate(words):
+            e = F.element_at(ts, i + F.lit(j)) == F.lit(w)
+            cond = e if cond is None else cond & e
+        return cond
+
+    return F.when(
+        F.size(ts) >= L,
+        F.exists(F.sequence(F.lit(1), F.size(ts) - F.lit(L - 1)), window_matches),
+    ).otherwise(F.lit(False))
+
+
+def search_phrase(
+    scored: DataFrame, docs: DataFrame, phrase: str, k: int = 10,
+    id_col: str = "docid", text_col: str = "text",
+) -> DataFrame:
+    """Phrase (adjacency-exact) top-k WITHOUT a positional index:
+    candidate docs must contain every phrase term (the conjunctive
+    index cut — same countDistinct group-guard as search_conjunctive),
+    then the phrase is verified against the stored text with a codegen
+    higher-order adjacency predicate, and survivors rank by BM25 over
+    the phrase's distinct terms. This is the classic positionless
+    phrase plan (conjunctive candidates ≫ filtered to adjacency): at
+    100 TB only the conjunctive candidates' text rows are re-read
+    (docid equi-join against the corpus — candidates per phrase ≪
+    corpus), never a full-corpus scan per query; a positions codec
+    would trade index bytes for skipping the text fetch. Duplicate
+    phrase words are handled (each window position checks the full
+    word sequence)."""
+    from ..functions.tokenizer import tokens_col
+
+    words = tokenize(phrase)
+    if not words:
+        return scored.sparkSession.createDataFrame([], "docid long, score double")
+    terms = sorted(set(words))
+    cand = (
+        scored.filter(F.col("term").isin(terms))
+        .groupBy("docid")
+        .agg(F.sum("impact").alias("score"), F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(terms))
+        .select("docid", "score")
+    )
+    verified = docs.select(
+        F.col(id_col).alias("docid"), tokens_col(F.col(text_col)).alias("_ts")
+    ).filter(phrase_match_expr(F.col("_ts"), words)).select("docid")
+    return (
+        cand.join(verified, "docid")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
 def search_batch(scored: DataFrame, queries_df: DataFrame) -> DataFrame:
     """Batched serving: (qid, k, term) ⋈ postings → per-qid top-k.
 

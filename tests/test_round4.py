@@ -416,3 +416,69 @@ def test_local_index_probe_equals_wand(spark, tmp_path_factory):
         # warm-cache pass must be identical
         q0 = queries[0]
         assert probe.search(q0["query"], k=q0["k"]) == want.get(int(q0["qid"]), [])
+
+
+# ---------------------------------------------------------- phrase search
+
+def test_phrase_match_semantics(spark):
+    """Adjacency-exact: order matters, gaps break the phrase, repeats
+    handled, short docs guarded (Spark sequence() would step backward)."""
+    from semantic_search_engine_spark.functions.tokenizer import tokens_col
+    from semantic_search_engine_spark.operators.topk import phrase_match_expr
+
+    rows = [
+        (0, "alpha beta gamma"),        # match
+        (1, "beta alpha gamma"),        # wrong order
+        (2, "alpha gamma beta"),        # not adjacent
+        (3, "x alpha beta"),            # match at end
+        (4, "alpha"),                   # shorter than phrase
+        (5, ""),                        # empty
+        (6, "alpha alpha beta"),        # match with repeated first word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in df.filter(
+            phrase_match_expr(tokens_col(F.col("text")), ["alpha", "beta"])
+        ).collect()
+    }
+    assert got == {0, 3, 6}
+    # 3-word phrase with a repeated word
+    got3 = {
+        r["doc_id"]
+        for r in df.filter(
+            phrase_match_expr(tokens_col(F.col("text")), ["alpha", "alpha", "beta"])
+        ).collect()
+    }
+    assert got3 == {6}
+
+
+def test_search_phrase_scores_and_filters(spark):
+    """Survivors are exactly the adjacency matches; scores equal the
+    conjunctive BM25 of the same docs (the phrase filter must not
+    change scoring)."""
+    from semantic_search_engine_spark.operators.postings import (
+        corpus_stats,
+        doc_freq,
+        scored_postings,
+        term_frequencies,
+    )
+    from semantic_search_engine_spark.operators.topk import search_conjunctive, search_phrase
+
+    rows = [
+        (0, "merge group work merge group"),
+        (1, "group merge things"),          # both terms, wrong order
+        (2, "merge other group"),           # both terms, not adjacent
+        (3, "merge group"),
+        (4, "unrelated words entirely"),
+        (5, "the merge group convened a merge"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, text string")
+    stats = corpus_stats(docs)
+    postings = term_frequencies(docs)
+    scored = scored_postings(postings, doc_freq(postings), stats)
+    got = search_phrase(scored, docs, "merge group", k=10).collect()
+    assert {r["docid"] for r in got} == {0, 3, 5}
+    conj = {r["docid"]: r["score"] for r in search_conjunctive(scored, "merge group", k=10).collect()}
+    for r in got:
+        assert r["score"] == conj[r["docid"]]
