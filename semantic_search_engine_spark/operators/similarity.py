@@ -336,6 +336,8 @@ class LocalIVFProbe:
         import json
         from collections import OrderedDict
 
+        import pyarrow.dataset as ds
+
         with open(os.path.join(path, "centroids.json")) as f:
             meta = json.load(f)
         self.path = path
@@ -345,28 +347,43 @@ class LocalIVFProbe:
         self._cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
         self._cache: "OrderedDict[int, tuple]" = OrderedDict()
         self._cache_cap = cache_buckets
+        # ONE hive-partitioned dataset handle for the whole index: a
+        # probe reads its full miss set in a single to_table call whose
+        # partition-filtered fragments decode on pyarrow's thread pool —
+        # wide probes (n_probe 30-77 at the 10M/20M ladder rungs) would
+        # otherwise pay per-directory discovery+read latency serially
+        self._ds = ds
+        self._dataset = ds.dataset(
+            os.path.join(path, "vectors"), format="parquet", partitioning="hive"
+        )
 
-    def _bucket(self, b: int) -> tuple[np.ndarray, np.ndarray]:
-        """(ids, normalized (n, d) matrix) for one bucket partition."""
-        if b in self._cache:
-            self._cache.move_to_end(b)
-            return self._cache[b]
-        import pyarrow.dataset as ds
-
-        d = os.path.join(self.path, "vectors", f"bucket={b}")
-        if not os.path.isdir(d):  # empty bucket: no partition directory
-            out = (np.empty(0, np.int64), np.empty((0, self.centroids.shape[1])))
-        else:
-            t = ds.dataset(d, format="parquet").to_table(columns=[self.id_col, self.vec_col])
-            ids = t.column(self.id_col).to_numpy()
+    def _load_buckets(self, buckets: list[int]) -> list[tuple[np.ndarray, np.ndarray]]:
+        """[(ids, normalized matrix)] per probed bucket, batched read of
+        all cache misses, LRU-cached per bucket."""
+        miss = [b for b in buckets if b not in self._cache]
+        if miss:
+            t = self._dataset.to_table(
+                columns=[self.id_col, self.vec_col, "bucket"],
+                filter=self._ds.field("bucket").isin(miss),
+            )
+            ids_all = t.column(self.id_col).to_numpy()
+            bk = t.column("bucket").to_numpy()
             flat = t.column(self.vec_col).combine_chunks().flatten().to_numpy(
                 zero_copy_only=False
             )
-            m = flat.astype(np.float64).reshape(len(ids), -1)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            out = (ids, m)
-        self._cache[b] = out
-        if len(self._cache) > self._cache_cap:
+            m_all = flat.astype(np.float64).reshape(len(ids_all), -1) if len(ids_all) else (
+                np.empty((0, self.centroids.shape[1]))
+            )
+            if len(ids_all):
+                m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+            for b in miss:  # empty buckets (no partition dir) → 0 rows
+                sel = np.flatnonzero(bk == b) if len(ids_all) else np.empty(0, np.int64)
+                self._cache[b] = (ids_all[sel], m_all[sel])
+        out = []
+        for b in buckets:
+            self._cache.move_to_end(b)
+            out.append(self._cache[b])
+        while len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)
         return out
 
@@ -375,7 +392,7 @@ class LocalIVFProbe:
         q = np.asarray(query_vec, dtype=np.float64)
         scores = self._cn @ (q / np.linalg.norm(q))
         probe = [int(b) for b in np.argsort(scores)[-n_probe:]]
-        parts = [self._bucket(b) for b in probe]
+        parts = self._load_buckets(probe)
         ids = np.concatenate([p[0] for p in parts])
         if ids.size == 0:
             return []
