@@ -33,6 +33,8 @@ heap, the global window the final heapq.nlargest.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -411,11 +413,19 @@ class LocalIndexProbe:
     in-RAM scoring; memory is bounded by the cached terms' posting
     sizes, not the corpus."""
 
-    def __init__(self, index_dir: str, cache_terms: int = 4096):
+    def __init__(self, index_dir: str, cache_terms: int = 4096, arrow_threads: int | None = None):
         from collections import OrderedDict
 
+        import pyarrow as pa
         import pyarrow.dataset as ds
         import pyarrow.parquet as pq
+
+        # OMP_NUM_THREADS=1 (common in Spark drivers) pins pyarrow's
+        # compute pool to one thread and serializes fragment decode —
+        # same fix as LocalIVFProbe (see its __init__ note)
+        want = arrow_threads or min(8, os.cpu_count() or 8)
+        if pa.cpu_count() < want:
+            pa.set_cpu_count(want)
 
         self.index_dir = index_dir
         stats = pq.read_table(f"{index_dir}/stats").to_pylist()[0]

@@ -332,12 +332,21 @@ class LocalIVFProbe:
     one parquet directory read. Memory is bounded by
     cache_buckets × bucket size, not corpus size."""
 
-    def __init__(self, path: str, cache_buckets: int = 256):
+    def __init__(self, path: str, cache_buckets: int = 256, arrow_threads: int | None = None):
         import json
         from collections import OrderedDict
 
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
+        # Spark drivers commonly run with OMP_NUM_THREADS=1, which pins
+        # pyarrow's COMPUTE pool to one thread — every probed fragment
+        # then decodes serially (measured 3.2 s for a 30-bucket probe at
+        # 10M rows). The probe is the serving hot path: give it a real
+        # pool. Overridable; never shrinks an already-larger pool.
+        want = arrow_threads or min(8, os.cpu_count() or 8)
+        if pa.cpu_count() < want:
+            pa.set_cpu_count(want)
         with open(os.path.join(path, "centroids.json")) as f:
             meta = json.load(f)
         self.path = path
@@ -368,9 +377,13 @@ class LocalIVFProbe:
             )
             ids_all = t.column(self.id_col).to_numpy()
             bk = t.column("bucket").to_numpy()
-            flat = t.column(self.vec_col).combine_chunks().flatten().to_numpy(
-                zero_copy_only=False
-            )
+            # per-chunk values-buffer views (no combine_chunks/flatten
+            # copies — the list arrays are null-free fixed-width rows)
+            chunks = [
+                ch.values.to_numpy(zero_copy_only=False)
+                for ch in t.column(self.vec_col).chunks
+            ]
+            flat = np.concatenate(chunks) if chunks else np.empty(0, np.float32)
             m_all = flat.astype(np.float64).reshape(len(ids_all), -1) if len(ids_all) else (
                 np.empty((0, self.centroids.shape[1]))
             )
