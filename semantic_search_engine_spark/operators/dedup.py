@@ -178,6 +178,7 @@ def embedding_neardup_pairs(
     num_tables: int = 8,
     hash_bits: int | None = None,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) — sign-LSH banded candidate generation + exact
     cosine verification (the reference's bucket→candidates→verify shape,
@@ -204,11 +205,18 @@ def embedding_neardup_pairs(
     miss more than 5% of pairs at the requested ``threshold`` — the
     silent-recall-loss trap of passing a selective config with a low
     threshold (raise ``num_tables`` or lower ``hash_bits`` to fix).
+
+    Sizing cost note (behavior change in round 4): the ``hash_bits=
+    None`` default needs the corpus size, which costs one ``count()``
+    job over ``emb``'s lineage per call — pass ``n_rows`` (an exact or
+    approximate row count you already have, e.g. from a manifest or a
+    cached aggregate) to skip that job, or pin ``hash_bits`` explicitly
+    to restore the old fixed-width behavior.
     """
     from .similarity import CosineLSH, cosine_expr
 
     if hash_bits is None:
-        hash_bits = auto_hash_bits(emb.count())
+        hash_bits = auto_hash_bits(emb.count() if n_rows is None else int(n_rows))
     miss = neardup_miss_probability(threshold, num_tables, hash_bits)
     if miss > 0.05:
         import warnings

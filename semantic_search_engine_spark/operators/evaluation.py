@@ -96,7 +96,20 @@ def exact_ranks(
     f_tid = np.array([f[1] for f in flat], dtype=np.int64)
     f_cos = np.array([f[2] for f in flat], dtype=np.float64)
 
+    # cosine tie tolerance: the per-target thresholds are driver-side
+    # dot products while batch cosines come from worker matmuls — the
+    # same mathematical tie can differ in the last bits between the two
+    # kernel shapes, which an exact == compare would miscount. Anything
+    # within EPS of the threshold is treated as a tie (broken vid-asc,
+    # the reference's position-stable argsort behavior); genuinely
+    # distinct cosines are never this close on real embeddings.
+    _EPS = 1e-12
+
     def count_beats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per batch: one argsort per DISTINCT query column, then each
+        # target costs two binary searches + its (tiny) tie range —
+        # O(batch·log batch · nq + targets·log batch), not the
+        # O(batch · targets) of a per-target full-column compare.
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -105,11 +118,28 @@ def exact_ranks(
             vids = pdf[id_col].to_numpy()
             cos = mn @ qn.T  # (batch, nq)
             cnts = np.zeros(f_qid.size, dtype=np.int64)
-            for j in range(f_qid.size):
-                c = cos[:, f_qid[j]]
-                not_self = vids != f_tid[j]
-                beats = (c > f_cos[j]) | ((c == f_cos[j]) & (vids < f_tid[j]))
-                cnts[j] = int(np.count_nonzero(beats & not_self))
+            vid_order = np.argsort(vids, kind="stable")
+            vids_sorted = vids[vid_order]
+            for q in np.unique(f_qid):
+                js = np.flatnonzero(f_qid == q)
+                c = cos[:, q]
+                order = np.argsort(c, kind="stable")
+                cs = c[order]
+                v_by_c = vids[order]
+                thr = f_cos[js]
+                hi = np.searchsorted(cs, thr + _EPS, side="right")
+                lo = np.searchsorted(cs, thr - _EPS, side="left")
+                gt = cs.size - hi  # strictly above the tie band
+                # is each target row present in this batch (self-exclusion)?
+                p = np.searchsorted(vids_sorted, f_tid[js])
+                p_c = np.minimum(p, max(vids_sorted.size - 1, 0))
+                self_in = (vids_sorted.size > 0) & (vids_sorted[p_c] == f_tid[js])
+                for i, j in enumerate(js):
+                    ties = int(np.count_nonzero(v_by_c[lo[i] : hi[i]] < f_tid[j]))
+                    g = int(gt[i])
+                    if self_in[i] and c[vid_order[p_c[i]]] > f_cos[j] + _EPS:
+                        g -= 1  # target drifted past its own tie band
+                    cnts[j] = g + ties
             yield pd.DataFrame({"j": np.arange(f_qid.size), "cnt": cnts})
 
     partials = (

@@ -378,9 +378,18 @@ class LocalIVFProbe:
             ids_all = t.column(self.id_col).to_numpy()
             bk = t.column("bucket").to_numpy()
             # per-chunk values-buffer views (no combine_chunks/flatten
-            # copies — the list arrays are null-free fixed-width rows)
+            # copies — the list arrays are null-free fixed-width rows).
+            # `.values` ignores a sliced chunk's offset/length, which
+            # would silently misalign vectors with ids — take the view
+            # only when the chunk provably covers its full values
+            # buffer, else fall back to flatten() (offset-correct copy)
+            dim = self.centroids.shape[1]
             chunks = [
-                ch.values.to_numpy(zero_copy_only=False)
+                (
+                    ch.values
+                    if ch.offset == 0 and ch.null_count == 0 and len(ch.values) == len(ch) * dim
+                    else ch.flatten()
+                ).to_numpy(zero_copy_only=False)
                 for ch in t.column(self.vec_col).chunks
             ]
             flat = np.concatenate(chunks) if chunks else np.empty(0, np.float32)

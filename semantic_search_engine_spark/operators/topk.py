@@ -104,11 +104,22 @@ def search_phrase(
     the phrase's distinct terms. This is the classic positionless
     phrase plan (conjunctive candidates ≫ filtered to adjacency): at
     100 TB only the conjunctive candidates' text rows are re-read
-    (docid equi-join against the corpus — candidates per phrase ≪
-    corpus), never a full-corpus scan per query; a positions codec
-    would trade index bytes for skipping the text fetch. Duplicate
-    phrase words are handled (each window position checks the full
-    word sequence)."""
+    (broadcast docid semi-join against the corpus — candidates per
+    phrase ≪ corpus), never a full-corpus scan per query; a positions
+    codec trades index bytes for skipping even that text fetch
+    (:func:`semantic_search_engine_spark.operators.query.search_index_phrase`).
+    Duplicate phrase words are handled (each window position checks the
+    full word sequence).
+
+    Plan note: the adjacency predicate references only corpus columns,
+    so a bare ``join(cand).filter(pred)`` would be UNDONE by Catalyst —
+    PushPredicateThroughJoin pushes any deterministic single-side
+    conjunct below the join, tokenizing the whole corpus again. The
+    predicate is therefore wrapped in ONE CASE expression that also
+    references the candidate side's ``score`` (non-splittable, refers
+    to both sides → must stay above the join). Semantically identical:
+    ``score`` is a SUM over non-null impacts, never null on a joined
+    row. Asserted in tests/test_plan_audit.py."""
     from ..functions.tokenizer import tokens_col
 
     words = tokenize(phrase)
@@ -122,11 +133,16 @@ def search_phrase(
         .filter(F.col("_nt") == len(terms))
         .select("docid", "score")
     )
-    verified = docs.select(
-        F.col(id_col).alias("docid"), tokens_col(F.col(text_col)).alias("_ts")
-    ).filter(phrase_match_expr(F.col("_ts"), words)).select("docid")
+    joined = docs.select(
+        F.col(id_col).alias("docid"), F.col(text_col).alias("_text")
+    ).join(F.broadcast(cand), "docid")
+    verify = F.when(
+        F.col("score").isNotNull(),
+        phrase_match_expr(tokens_col(F.col("_text")), words),
+    ).otherwise(F.lit(False))
     return (
-        cand.join(verified, "docid")
+        joined.filter(verify)
+        .select("docid", "score")
         .orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
     )

@@ -14,7 +14,7 @@ from semantic_search_engine_spark.operators.postings import (
     term_frequencies,
 )
 from semantic_search_engine_spark.operators.query import IndexReader
-from semantic_search_engine_spark.operators.topk import search
+from semantic_search_engine_spark.operators.topk import search, search_phrase
 from semantic_search_engine_spark.plans import audit
 
 
@@ -44,3 +44,26 @@ def test_exhaustive_topk_is_take_ordered(spark):
     assert "partial_sum" in audit.physical_plan(res)
     res.collect()  # finalize AQE → codegen stages become visible
     assert audit.codegen_stage_count(res) >= 2
+
+
+def test_phrase_verify_stays_above_candidate_join(spark):
+    """The tokenize+adjacency predicate must evaluate ONLY on joined
+    candidate rows. Catalyst pushes deterministic single-side filters
+    below joins, which would re-tokenize the whole corpus per phrase
+    query — search_phrase pins the filter above the join with a
+    non-splittable both-sides CASE expression; this asserts the pin
+    holds (the plan tree prints parent-first, so filter-above-join
+    means the adjacency marker appears before the join line)."""
+    docs = mint_docids(generate_webtext(spark, 300), num_buckets=4)
+    stats = corpus_stats(docs)
+    postings = term_frequencies(docs)
+    scored = scored_postings(postings, doc_freq(postings), stats)
+    res = search_phrase(scored, docs.select("docid", "text"), "bababa cecece", 5)
+    lines = audit.physical_plan(res).splitlines()
+    join_at = [i for i, ln in enumerate(lines) if "BroadcastHashJoin [docid" in ln]
+    adj_at = [i for i, ln in enumerate(lines) if "exists(" in ln]
+    assert join_at and adj_at  # candidate join broadcast; adjacency survived
+    # filter at/above the candidate join (Catalyst may fold it into the
+    # join condition — same guarantee); never pushed into the scan below
+    assert min(adj_at) <= min(join_at)
+    assert all(i <= min(join_at) for i in adj_at)
