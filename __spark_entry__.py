@@ -127,12 +127,19 @@ def _serve_wand(spark: SparkSession, d: str) -> DataFrame:
     engine's internal rank breaks ties by minted docid, which is
     (hash bucket, url) order, not doc_id order.)"""
     from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
-    from semantic_search_engine_spark.sources.index_store import read_docmap
 
     reader = IndexReader(spark, d)
     res = search_index_wand(
         reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K}], keep_boundary_ties=True
     )
+    return _docmap_rerank(spark, d, res)
+
+
+def _docmap_rerank(spark: SparkSession, d: str, res: DataFrame) -> DataFrame:
+    """Boundary-tie-complete internal result → external (doc_id, rank,
+    score) under the oracle's (score desc, doc_id asc) order."""
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
     docmap = read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
     return (
         res.join(docmap, "docid")
@@ -219,6 +226,31 @@ def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(_rank_window()).alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+def q_bm25_phrase_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase answer served INDEX-ONLY: a store_positions=True
+    build adds the per-block delta-varint positions stream
+    (operators/codec.py), and search_index_phrase verifies adjacency
+    from decoded positions — the stored text is never re-read (contrast
+    q_bm25_phrase_topk's candidates-only text verification). Must
+    hash-match the same DuckDB oracle."""
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
+
+    key = f"pos:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        d = tempfile.mkdtemp(prefix="ssse_pos_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        build_index(docs, d, num_shards=8, store_positions=True)
+        _WAND_CACHE[key] = d
+    d = _WAND_CACHE[key]
+    res = search_index_phrase(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": PHRASE_QUERY, "k": BM25_K}],
+        keep_boundary_ties=True,
+    )
+    return _docmap_rerank(spark, d, res)
 
 
 def _bm25_phrase_oracle(k: int) -> str:
@@ -561,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
+        "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
@@ -670,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_conjunctive_topk": _bm25_conjunctive_oracle(BM25_K),
         "bm25_phrase_topk": _bm25_phrase_oracle(BM25_K),
+        "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)

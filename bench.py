@@ -120,6 +120,86 @@ def main() -> None:
         queries = generate_queries(
             n_queries=int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", 50))
         )
+        # SPARK_GRAFT_BENCH_ONLY (below) also gates the phrase block —
+        # scaling runs with ONLY="build,wand" skip it entirely
+        _only_probe = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+        _sel_probe = (
+            {s.strip() for s in _only_probe.split(",") if s.strip()} if _only_probe else None
+        )
+
+        # phrase serving, both plans over the SAME corpus: positionless
+        # (conjunctive cut + candidates-only text re-read) vs positions
+        # stream (index-only). Positions index + cached scored postings
+        # are built once; each rep times the 8-phrase batch on both.
+        phrase_queries = None
+        extras: dict = {}
+        if _sel_probe is None or "phrase" in _sel_probe:
+            from pyspark.sql import functions as F
+
+            from semantic_search_engine_spark.functions.tokenizer import tokenize
+            from semantic_search_engine_spark.operators.docids import mint_docids
+            from semantic_search_engine_spark.operators.postings import (
+                corpus_stats,
+                doc_freq,
+                scored_postings,
+                term_frequencies,
+            )
+
+            pos_dir = os.path.join(work, "pos_idx")
+            t0 = time.perf_counter()
+            build_index(docs, pos_dir, num_shards=num_shards, store_positions=True)
+            cold["pos_build_sec"] = round(time.perf_counter() - t0, 3)
+            sample = docs.orderBy("url").limit(8).collect()
+            phrase_queries = []
+            for i, r in enumerate(sample):
+                toks = tokenize(r["text"])
+                j = (i * 13) % max(len(toks) - 2, 1)
+                phrase_queries.append({"qid": i, "query": " ".join(toks[j : j + 2]), "k": 10})
+            docs_ids = mint_docids(docs).select("docid", "text").cache()
+            _st = corpus_stats(docs_ids)
+            _pf = term_frequencies(docs_ids)
+            scored_cached = scored_postings(_pf, doc_freq(_pf), _st).cache()
+            scored_cached.count()
+
+            # decode-volume comparison (the bytes each plan must touch
+            # per 8-phrase batch): indexed = the phrase terms' posting
+            # blocks incl. the positions stream; text plan = the same
+            # blocks minus positions PLUS the candidates' stored text
+            import pyarrow.dataset as pads
+
+            _terms = sorted({t for q in phrase_queries for t in tokenize(q["query"])})
+            _tbl = pads.dataset(
+                os.path.join(pos_dir, "postings"), format="parquet", partitioning="hive"
+            ).to_table(
+                columns=["docids_bin", "tfs_bin", "dls_bin", "positions_bin"],
+                filter=pads.field("term").isin(_terms),
+            )
+            _base = sum(
+                sum(len(b) for b in _tbl.column(c).to_pylist())
+                for c in ("docids_bin", "tfs_bin", "dls_bin")
+            )
+            _posb = sum(len(b) for b in _tbl.column("positions_bin").to_pylist())
+            _textb = 0
+            for q in phrase_queries:
+                ts = sorted(set(tokenize(q["query"])))
+                cand = (
+                    scored_cached.filter(F.col("term").isin(ts))
+                    .groupBy("docid")
+                    .agg(F.countDistinct("term").alias("nt"))
+                    .filter(F.col("nt") == len(ts))
+                    .select("docid")
+                )
+                _textb += int(
+                    docs_ids.join(cand, "docid").agg(F.sum(F.length("text"))).collect()[0][0]
+                    or 0
+                )
+            extras["phrase_decode_volume"] = {
+                "n_phrases": len(phrase_queries),
+                "indexed_plan_bytes": _base + _posb,
+                "positions_stream_bytes": _posb,
+                "text_plan_bytes": _base + _textb,
+                "candidate_text_bytes": _textb,
+            }
         # SPARK_GRAFT_BENCH_ONLY: comma-separated selector over the
         # sf-table suite below (e.g. "tpch_q1,ann_cosine"). The headline
         # build+wand timings always run; the aliases "build"/"wand" are
@@ -170,6 +250,23 @@ def main() -> None:
                 timed("wand_local_allq", local_all)
             shutil.rmtree(idx_dir, ignore_errors=True)
 
+            if phrase_queries is not None:
+                from semantic_search_engine_spark.operators.query import search_index_phrase
+                from semantic_search_engine_spark.operators.topk import search_phrase
+
+                pos_reader = IndexReader(spark, pos_dir)
+                timed(
+                    "phrase_indexed_batch",
+                    lambda: search_index_phrase(pos_reader, phrase_queries).collect(),
+                )
+                timed(
+                    "phrase_text_batch",
+                    lambda: [
+                        search_phrase(scored_cached, docs_ids, q["query"], 10).collect()
+                        for q in phrase_queries
+                    ],
+                )
+
             suite = {
                 "bm25_exhaustive": lambda: entrymod.q_bm25_topk(spark, sf_dir).collect(),
                 "bm25_conjunctive": lambda: entrymod.q_bm25_conjunctive_topk(spark, sf_dir).collect(),
@@ -180,6 +277,17 @@ def main() -> None:
                 "neardup_lsh": lambda: entrymod.dedup.embedding_neardup_pairs(
                     entrymod._read(spark, sf_dir, "embeddings"),
                     threshold=0.9, num_tables=8, hash_bits=8,
+                ).collect(),
+                # hash_bits=None default: bucket width auto-derived from
+                # corpus size — full vs half corpus evidences the
+                # candidate-volume-stays-linear claim outside pytest
+                "neardup_auto": lambda: entrymod.dedup.embedding_neardup_pairs(
+                    entrymod._read(spark, sf_dir, "embeddings"),
+                    threshold=0.9, num_tables=8,
+                ).collect(),
+                "neardup_auto_half": lambda: entrymod.dedup.embedding_neardup_pairs(
+                    entrymod._read(spark, sf_dir, "embeddings").filter("vec_id % 2 = 0"),
+                    threshold=0.9, num_tables=8,
                 ).collect(),
                 "ann_cosine": lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).collect(),
                 "ann_pq": lambda: entrymod.q_ann_pq_fullprobe(spark, sf_dir).collect(),
@@ -221,6 +329,7 @@ def main() -> None:
                 # steady-state medians above — both visible, nothing hidden
                 "cold": cold,
                 "peak_mem_mb": peak_mem_mb(),
+                **extras,
             }
         )
     )

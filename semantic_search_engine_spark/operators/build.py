@@ -79,7 +79,7 @@ def _atomic_write(table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def _make_spimi_writer(stage_dir: str):
+def _make_spimi_writer(stage_dir: str, store_positions: bool = False):
     """Kernel factory: a BUNDLE of shards' docs → per shard: docids,
     encoded posting blocks, segment + docmap parquet files (written
     in-kernel), one metrics row each.
@@ -104,7 +104,7 @@ def _make_spimi_writer(stage_dir: str):
         if len(pdf) == 0:
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in METRICS_COLS})
         outs = [
-            _spimi_one_shard(stage_dir, int(shard), sub)
+            _spimi_one_shard(stage_dir, int(shard), sub, store_positions)
             for shard, sub in pdf.groupby("shard", sort=True)
         ]
         return pd.DataFrame(outs)[METRICS_COLS]
@@ -112,8 +112,14 @@ def _make_spimi_writer(stage_dir: str):
     return kernel
 
 
-def _spimi_one_shard(stage_dir: str, shard: int, pdf: pd.DataFrame) -> dict:
-    """One shard's docs → segment + docmap files + a metrics dict."""
+def _spimi_one_shard(
+    stage_dir: str, shard: int, pdf: pd.DataFrame, store_positions: bool = False
+) -> dict:
+    """One shard's docs → segment + docmap files + a metrics dict.
+
+    ``store_positions`` adds the per-block token-positions stream
+    (delta-varint, run lengths = the stored tfs) that powers index-only
+    phrase serving (operators/query.py:search_index_phrase)."""
     import pyarrow as pa
 
     from ..functions.tokenizer import tokenize_series
@@ -172,27 +178,41 @@ def _spimi_one_shard(stage_dir: str, shard: int, pdf: pd.DataFrame) -> dict:
     starts = np.flatnonzero(is_new)
     tf = np.diff(np.concatenate([starts, [tc.size]]))
 
-    blocks = encode_segment_blocks(tc[starts], dc[starts], tf, lc[starts])
-    payload = sum(
-        len(b)
-        for col in ("docids_bin", "tfs_bin", "dls_bin")
-        for b in blocks[col]
+    pos_gaps = None
+    if store_positions:
+        # absolute in-doc token position of each occurrence; the
+        # (term, doc) lexsort is stable, so positions stay ascending
+        # within each posting run → encode as (absolute first, deltas)
+        doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos_sorted = (
+            np.arange(terms.size, dtype=np.int64) - np.repeat(doc_starts, lens)
+        )[torder]
+        pos_gaps = np.empty(pos_sorted.size, dtype=np.int64)
+        pos_gaps[0] = pos_sorted[0]
+        np.subtract(pos_sorted[1:], pos_sorted[:-1], out=pos_gaps[1:])
+        pos_gaps[starts] = pos_sorted[starts]  # run starts carry absolutes
+
+    blocks = encode_segment_blocks(tc[starts], dc[starts], tf, lc[starts], pos_gaps=pos_gaps)
+    bin_cols = ("docids_bin", "tfs_bin", "dls_bin") + (
+        ("positions_bin",) if store_positions else ()
     )
-    seg = pa.table(
-        {
-            "term": pa.array(
-                np.asarray(uniques, dtype=object)[blocks["term_id"]], type=pa.string()
-            ),
-            "block_seq": pa.array(blocks["block_seq"].astype(np.int32), type=pa.int32()),
-            "first_docid": pa.array(blocks["first_docid"].astype(np.int64), type=pa.int64()),
-            "last_docid": pa.array(blocks["last_docid"].astype(np.int64), type=pa.int64()),
-            "n": pa.array(blocks["n"].astype(np.int32), type=pa.int32()),
-            "block_cf": pa.array(blocks["block_cf"].astype(np.int64), type=pa.int64()),
-            "docids_bin": pa.array(list(blocks["docids_bin"]), type=pa.binary()),
-            "tfs_bin": pa.array(list(blocks["tfs_bin"]), type=pa.binary()),
-            "dls_bin": pa.array(list(blocks["dls_bin"]), type=pa.binary()),
-        }
-    )
+    payload = sum(len(b) for col in bin_cols for b in blocks[col])
+    seg_cols = {
+        "term": pa.array(
+            np.asarray(uniques, dtype=object)[blocks["term_id"]], type=pa.string()
+        ),
+        "block_seq": pa.array(blocks["block_seq"].astype(np.int32), type=pa.int32()),
+        "first_docid": pa.array(blocks["first_docid"].astype(np.int64), type=pa.int64()),
+        "last_docid": pa.array(blocks["last_docid"].astype(np.int64), type=pa.int64()),
+        "n": pa.array(blocks["n"].astype(np.int32), type=pa.int32()),
+        "block_cf": pa.array(blocks["block_cf"].astype(np.int64), type=pa.int64()),
+        "docids_bin": pa.array(list(blocks["docids_bin"]), type=pa.binary()),
+        "tfs_bin": pa.array(list(blocks["tfs_bin"]), type=pa.binary()),
+        "dls_bin": pa.array(list(blocks["dls_bin"]), type=pa.binary()),
+    }
+    if store_positions:
+        seg_cols["positions_bin"] = pa.array(list(blocks["positions_bin"]), type=pa.binary())
+    seg = pa.table(seg_cols)
     _atomic_write(seg, os.path.join(stage_dir, "segments", f"shard={shard}", "part-0.parquet"))
     metrics.update(
         n_terms=int(len(uniques)),
@@ -241,13 +261,17 @@ def build_segments(
     max_batches: int | None = None,
     shard_base: int = 0,
     docid_base: int = 0,
+    store_positions: bool = False,
 ) -> int:
     """Build (or resume) per-shard segments + docmap + manifest.
 
     ``max_batches`` exists for the kill/resume test — a bounded run is
     indistinguishable from a killed one. ``shard_base``/``docid_base``
     place this corpus as an LSM generation after existing shards (see
-    :func:`append_index`). Returns #shards built this run.
+    :func:`append_index`). ``store_positions`` adds the phrase-serving
+    positions stream to every block (appends to a positions index must
+    pass it too — finalize refuses mixed-generation layouts). Returns
+    #shards built this run.
     """
     spark = docs.sparkSession
     timing = os.environ.get("SSSE_TIMING") == "1"
@@ -339,7 +363,7 @@ def build_segments(
                 part.join(F.broadcast(offset_df), "shard")
                 .withColumn("_bgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
                 .groupBy("_bgroup")
-                .applyInPandas(_make_spimi_writer(stage), METRICS_SCHEMA)
+                .applyInPandas(_make_spimi_writer(stage, store_positions), METRICS_SCHEMA)
                 .collect()
             )
             if timing:
@@ -402,6 +426,10 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     else:
         # corpus built, but zero postings (every doc tokenized empty)
         segs = spark.createDataFrame([], SEGMENT_SCHEMA)
+    # mergeSchema in read_segments surfaces positions_bin if ANY
+    # generation stored it; the kernel below refuses null payloads, so
+    # a mixed positions/positionless index fails loudly at finalize
+    has_positions = "positions_bin" in segs.columns
     dictionary = (
         segs.groupBy("term")
         .agg(F.sum("n").alias("df"), F.sum("block_cf").alias("cf"), F.count("*").alias("n_blocks"))
@@ -414,11 +442,21 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         t0 = time.perf_counter()
 
     joined = segs.join(dict_df.select("term", "idf"), "term")
+    out_cols = [
+        "shard", "term", "block_seq", "first_docid", "last_docid",
+        "n", "block_cf", "docids_bin", "tfs_bin", "dls_bin", "block_max",
+    ] + (["positions_bin"] if has_positions else [])
 
     def attach_block_max(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            if has_positions and pdf["positions_bin"].isna().any():
+                raise ValueError(
+                    "some segments lack the positions stream — every "
+                    "generation of a positions index must be built with "
+                    "store_positions=True"
+                )
             _, tfs, dls, block_starts = decode_blocks_batch(
                 pdf["first_docid"].to_numpy(), pdf["n"].to_numpy(),
                 pdf["docids_bin"], pdf["tfs_bin"], pdf["dls_bin"],
@@ -428,15 +466,13 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
             bm = np.maximum.reduceat(impacts, block_starts)
             out = pdf.drop(columns=["idf"]).copy()
             out["block_max"] = bm
-            yield out[
-                [
-                    "shard", "term", "block_seq", "first_docid", "last_docid",
-                    "n", "block_cf", "docids_bin", "tfs_bin", "dls_bin", "block_max",
-                ]
-            ]
+            yield out[out_cols]
 
     (
-        joined.mapInPandas(attach_block_max, POSTING_SCHEMA)
+        joined.mapInPandas(
+            attach_block_max,
+            index_store.POSTING_SCHEMA_POS if has_positions else POSTING_SCHEMA,
+        )
         .repartition("shard")
         .sortWithinPartitions("term", "block_seq")
         .write.mode("overwrite")
@@ -450,10 +486,11 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         "avgdl": float(avgdl),
         "total_tokens": total_tokens,
         "num_shards": num_shards,
+        "has_positions": bool(has_positions),
     }
     spark.createDataFrame(
-        [(n_docs, float(avgdl), total_tokens, num_shards)],
-        "n_docs long, avgdl double, total_tokens long, num_shards int",
+        [(n_docs, float(avgdl), total_tokens, num_shards, bool(has_positions))],
+        "n_docs long, avgdl double, total_tokens long, num_shards int, has_positions boolean",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
     return stats
 
@@ -465,9 +502,13 @@ def build_index(
     batch_shards: int | None = None,
     text_col: str = "text",
     url_col: str = "url",
+    store_positions: bool = False,
 ) -> dict:
     """Full pipeline: segments (resumable) + finalize. Returns stats."""
-    build_segments(docs, index_dir, num_shards, batch_shards, text_col, url_col)
+    build_segments(
+        docs, index_dir, num_shards, batch_shards, text_col, url_col,
+        store_positions=store_positions,
+    )
     return finalize_index(docs.sparkSession, index_dir)
 
 
@@ -480,6 +521,7 @@ def ingest_generation(
     url_col: str = "url",
     tag: str | None = None,
     finalize: bool = True,
+    store_positions: bool = False,
 ) -> dict | None:
     """Allocate-or-resume one LSM generation for ``docs`` and build its
     segments; optionally finalize (the compaction pass).
@@ -582,6 +624,7 @@ def ingest_generation(
         docs, index_dir, num_shards=gen["num_shards"], batch_shards=batch_shards,
         text_col=text_col, url_col=url_col,
         shard_base=gen["shard_base"], docid_base=gen["docid_base"],
+        store_positions=store_positions,
     )
     return finalize_index(spark, index_dir) if finalize else None
 
@@ -593,6 +636,7 @@ def append_index(
     batch_shards: int | None = None,
     text_col: str = "text",
     url_col: str = "url",
+    store_positions: bool = False,
 ) -> dict:
     """LSM append: ingest a new corpus generation into an existing
     index. The generation gets the next contiguous shard range and
@@ -607,6 +651,7 @@ def append_index(
     stats = ingest_generation(
         docs, index_dir, num_shards=num_shards, batch_shards=batch_shards,
         text_col=text_col, url_col=url_col, finalize=True,
+        store_positions=store_positions,
     )
     assert stats is not None
     return stats

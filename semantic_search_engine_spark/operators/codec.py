@@ -119,6 +119,7 @@ def encode_segment_blocks(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    pos_gaps: np.ndarray | None = None,
 ) -> dict:
     """Encode an ENTIRE segment's posting relation in one vectorized
     pass (no per-term Python loop). Input must be sorted by
@@ -127,17 +128,29 @@ def encode_segment_blocks(
     Returns a dict of parallel per-block arrays:
       term_id, block_seq, first_docid, last_docid, n, block_cf,
       docids_bin, tfs_bin, dls_bin (object arrays of bytes).
-    """
+
+    ``pos_gaps`` (optional) is the TOKEN-level positions stream aligned
+    with the posting order: ``sum(tfs)`` entries, each posting's run
+    starting with its absolute first in-doc position followed by
+    position deltas (strictly positive). When given, each block also
+    carries ``positions_bin`` — the varint slice covering exactly its
+    postings' runs (the per-posting run lengths are the already-stored
+    tfs, so decode needs no extra length stream). This is the
+    index-only phrase-serving stream (delta-varint, same codec family
+    as the docid gaps)."""
     n = docids.size
     if n == 0:
         empty = np.empty(0, dtype=np.int64)
-        return {
+        out = {
             "term_id": empty, "block_seq": empty, "first_docid": empty,
             "last_docid": empty, "n": empty, "block_cf": empty,
             "docids_bin": np.empty(0, dtype=object),
             "tfs_bin": np.empty(0, dtype=object),
             "dls_bin": np.empty(0, dtype=object),
         }
+        if pos_gaps is not None:
+            out["positions_bin"] = np.empty(0, dtype=object)
+        return out
     term_ids = np.asarray(term_ids, dtype=np.int64)
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -172,7 +185,7 @@ def encode_segment_blocks(
             out[i] = payload[starts_b[i] : ends_b[i]]
         return out
 
-    return {
+    out = {
         "term_id": term_ids[block_starts],
         "block_seq": (rank[block_starts] // block_size).astype(np.int64),
         "first_docid": docids[block_starts],
@@ -183,6 +196,19 @@ def encode_segment_blocks(
         "tfs_bin": _slice(payload_t, ends_t),
         "dls_bin": _slice(payload_l, ends_l),
     }
+    if pos_gaps is not None:
+        assert pos_gaps.size == int(tfs.sum()), "one positions entry per token occurrence"
+        payload_p, ends_p = varint_encode_with_offsets(pos_gaps.astype(np.uint64))
+        # posting-boundary → token-boundary: posting p's run starts at
+        # tok_cum[p]; block b covers token span [tok_cum[bs], tok_cum[be])
+        tok_cum = np.concatenate([[0], np.cumsum(tfs, dtype=np.int64)])
+        tok_s, tok_e = tok_cum[block_starts], tok_cum[block_ends]
+        pos_bins = np.empty(block_starts.size, dtype=object)
+        for i in range(block_starts.size):
+            b0 = ends_p[tok_s[i] - 1] if tok_s[i] > 0 else 0
+            pos_bins[i] = payload_p[b0 : ends_p[tok_e[i] - 1]]
+        out["positions_bin"] = pos_bins
+    return out
 
 
 def decode_blocks_batch(first_docids, ns, docids_bins, tfs_bins, dls_bins):
@@ -205,6 +231,28 @@ def decode_blocks_batch(first_docids, ns, docids_bins, tfs_bins, dls_bins):
     first_rep = np.repeat(np.asarray(first_docids, dtype=np.int64), ns)
     docids = first_rep + (cs - base)
     return docids, tfs, dls, block_starts
+
+
+def decode_positions(tfs: np.ndarray, positions_bins) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the positions stream of many blocks in one pass.
+
+    ``tfs`` — per-POSTING term frequencies covering all blocks in input
+    order (the run lengths); ``positions_bins`` — the blocks'
+    ``positions_bin`` payloads in the same order. Returns
+    ``(positions, run_starts)``: flat absolute in-doc positions
+    (strictly increasing within each posting's run) and the token-level
+    start offset of each posting's run — posting i occupies
+    ``positions[run_starts[i] : run_starts[i] + tfs[i]]``.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if tfs.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy()
+    g = varint_decode(b"".join(positions_bins)).astype(np.int64)
+    run_starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    cs = np.cumsum(g)
+    base = np.repeat(cs[run_starts] - g[run_starts], tfs)
+    return cs - base, run_starts
 
 
 def decode_posting_blocks(blocks: list[tuple[int, bytes, bytes, bytes]]):

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..functions.bm25 import impact_np
 from ..functions.tokenizer import tokenize
 from ..sources import index_store
-from .codec import decode_block, decode_blocks_batch
+from .codec import decode_block, decode_blocks_batch, decode_positions
 
 RESULT_SCHEMA = "qid int, k int, docid long, score double"
 
@@ -378,6 +378,155 @@ def search_index_wand(
         return pd.concat(outs)
 
     local = blocks.groupBy("_qgroup").applyInPandas(wand_shard, RESULT_SCHEMA)
+    if keep_boundary_ties:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"))
+        return (
+            local.withColumn("rank", F.rank().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("qid", "rank", "docid", "score")
+        )
+    return _topk_window(local)
+
+
+def _phrase_survivors(cands: np.ndarray, words: list[str], data: dict) -> np.ndarray:
+    """Candidates (sorted docids, all containing every phrase term) →
+    the subset where the words occur ADJACENTLY in order, from
+    positions alone. data[t] = (docids, tfs, dls, positions,
+    run_starts) with positions strictly increasing per posting run.
+
+    Vectorized occurrence join: word j at in-doc position p supports a
+    phrase start at p−j, so each word contributes the sorted key set
+    {cand_index·M + (p−j)} and a phrase occurrence is a key present in
+    EVERY word's set — L−1 sorted intersections over the candidates'
+    position runs, no per-doc Python loop. Duplicate phrase words reuse
+    the same decoded run at their own offsets (handled naturally)."""
+    if cands.size == 0 or not words:
+        return cands
+    L = len(words)
+    M = max(int(data[w][3].max()) if data[w][3].size else 0 for w in set(words)) + L + 2
+    keys = None
+    for j, w in enumerate(words):
+        d, tf, _, pos, rs = data[w]
+        r = np.searchsorted(d, cands)
+        counts = tf[r]
+        total = int(counts.sum())
+        out_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.repeat(rs[r] - out_start, counts) + np.arange(total, dtype=np.int64)
+        p = pos[idx]
+        ci = np.repeat(np.arange(cands.size, dtype=np.int64), counts)
+        kj = (ci * M + p - j)[p >= j]
+        keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, dtype=np.int64)
+    return cands[np.unique(keys // M)]
+
+
+def search_index_phrase(
+    reader: IndexReader, queries: list[dict], keep_boundary_ties: bool = False
+) -> DataFrame:
+    """Index-only phrase retrieval: (qid, rank, docid, score) for
+    phrase queries, verified from the POSITIONS stream — the stored
+    text is never re-read (contrast topk.search_phrase, the
+    positionless fallback). Requires a ``store_positions=True`` index.
+
+    ``keep_boundary_ties`` has the ``search_index_wand`` contract:
+    every shard emits all docs tying its k-th score and the global
+    merge keeps every potential top-k member, for callers re-breaking
+    ties under their own ordering (e.g. external doc_id).
+
+    Rows are identical to the positionless plan: candidates = docs
+    containing every distinct phrase term (conjunctive cut — a doc's
+    postings all live in one shard, so the intersection is per-shard
+    local), adjacency verified from decoded positions, survivors
+    ranked by BM25 over the distinct terms under (score desc, docid
+    asc). Per shard-group decode volume is the phrase terms' blocks
+    only (pushed ``term isin`` scan filter), positions included —
+    that's the bytes-for-latency trade vs the text-fetch plan, and at
+    100 TB it removes the corpus random-read per query entirely."""
+    spark = reader.spark
+    if not reader.stats.get("has_positions"):
+        raise ValueError(
+            "search_index_phrase needs a positions-enabled index — "
+            "build with store_positions=True (falling back to "
+            "topk.search_phrase re-reads stored text instead)"
+        )
+    plan, terms = _query_plan(queries)
+    idf_map = reader.idf_map(terms)
+    # conjunctive semantics: any unknown term voids its query
+    known_plan = []
+    for q in queries:
+        words = tokenize(q["query"])
+        if words and all(t in idf_map for t in words):
+            known_plan.append((int(q["qid"]), int(q["k"]), words))
+    if not known_plan:
+        return _empty_result(spark)
+    avgdl = float(reader.stats["avgdl"])
+    used = sorted({t for _, _, ws in known_plan for t in ws})
+
+    per_cpu = int(os.environ.get("SSSE_WAND_GROUPS_PER_CPU", "4"))
+    n_groups = per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocks = (
+        index_store.read_postings(spark, reader.index_dir, positions=True)
+        .filter(F.col("term").isin(used))
+        .withColumn("_qgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
+    )
+
+    def phrase_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in
+             [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]}
+        )
+        if len(pdf) == 0:
+            return empty
+        # decode each present term's runs ONCE (ordered by first_docid;
+        # shard runs are docid-disjoint → concatenation sorted-unique)
+        data: dict[str, tuple] = {}
+        for t, rows in pdf.groupby("term", sort=False):
+            rows = rows.sort_values("first_docid")
+            d, tf, dl, _ = decode_blocks_batch(
+                rows["first_docid"].to_numpy(), rows["n"].to_numpy(),
+                rows["docids_bin"], rows["tfs_bin"], rows["dls_bin"],
+            )
+            pos, rs = decode_positions(tf, rows["positions_bin"])
+            data[t] = (d, tf, dl, pos, rs)
+
+        outs = []
+        for qid, k, words in known_plan:
+            qterms = sorted(set(words))
+            if any(t not in data for t in qterms):
+                continue  # conjunctive: all terms must appear in this group
+            cands = data[qterms[0]][0]
+            for t in qterms[1:]:
+                cands = np.intersect1d(cands, data[t][0], assume_unique=True)
+                if cands.size == 0:
+                    break
+            if cands.size == 0:
+                continue
+            hits = _phrase_survivors(cands, words, data)
+            if hits.size == 0:
+                continue
+            per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
+            scores = _score_candidates(hits, per_term, idf_map, avgdl)
+            if scores.size > k:
+                kth = np.partition(scores, scores.size - k)[scores.size - k]
+                sel = np.flatnonzero(scores >= kth)
+                hits, scores = hits[sel], scores[sel]
+            order = np.lexsort((hits, -scores))
+            if not keep_boundary_ties:
+                order = order[:k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(order.size, qid, dtype=np.int32),
+                        "k": np.full(order.size, k, dtype=np.int32),
+                        "docid": hits[order],
+                        "score": scores[order],
+                    }
+                )
+            )
+        return pd.concat(outs) if outs else empty
+
+    local = blocks.groupBy("_qgroup").applyInPandas(phrase_shard, RESULT_SCHEMA)
     if keep_boundary_ties:
         w = Window.partitionBy("qid").orderBy(F.desc("score"))
         return (

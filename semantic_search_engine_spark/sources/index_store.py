@@ -45,6 +45,9 @@ POSTING_SCHEMA = (
     "n int, block_cf long, docids_bin binary, tfs_bin binary, dls_bin binary, "
     "block_max double"
 )
+# positions-enabled layout (store_positions=True builds): one extra
+# delta-varint stream per block for index-only phrase verification
+POSTING_SCHEMA_POS = POSTING_SCHEMA + ", positions_bin binary"
 MANIFEST_SCHEMA = (
     "shard int, n_docs long, sum_dl long, n_terms long, n_blocks long, "
     "n_postings long, payload_bytes long, first_docid long, last_docid long, "
@@ -125,16 +128,24 @@ def append_generation(index_dir: str, rec: dict) -> None:
 
 
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(_p(index_dir, "segments"))
+    # mergeSchema: a positions column present in ANY generation's
+    # segments must surface (finalize then verifies no generation
+    # lacks it) — single-footer inference could miss it
+    return spark.read.option("mergeSchema", "true").parquet(_p(index_dir, "segments"))
 
 
 DICTIONARY_SCHEMA = "term string, df long, cf long, n_blocks long, idf double"
 
 
-def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_postings(
+    spark: SparkSession, index_dir: str, positions: bool = False
+) -> DataFrame:
     # explicit schema: readable even when the corpus had zero postings
-    # (an all-empty-text corpus writes no part files)
-    return spark.read.schema(POSTING_SCHEMA).parquet(_p(index_dir, "postings"))
+    # (an all-empty-text corpus writes no part files). positions=True
+    # includes the phrase-serving stream (positions-enabled index only —
+    # on a positionless index the column reads as all-null).
+    schema = POSTING_SCHEMA_POS if positions else POSTING_SCHEMA
+    return spark.read.schema(schema).parquet(_p(index_dir, "postings"))
 
 
 def read_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:

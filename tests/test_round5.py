@@ -61,3 +61,141 @@ def test_exact_ranks_tie_epsilon_robust(spark):
     got = exact_ranks(emb, [[1.0, 0.0, 0.0]], {0: [0, 1, 2, 3, 4]})
     # cosines: id0=1.0; ids1-3=0.6 (tie, id asc); id4=0.0
     assert got == {0: {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}}
+
+
+# ---------------------------------------------------------- positions codec
+
+def test_positions_codec_roundtrip():
+    """Whole-segment encode with the positions stream → per-block
+    payloads must decode back to exactly the input runs, across block
+    boundaries (>128 postings per term)."""
+    from semantic_search_engine_spark.operators.codec import (
+        decode_positions,
+        encode_segment_blocks,
+    )
+
+    rng = np.random.default_rng(11)
+    n_postings = 300  # term 0: 260 postings (3 blocks), term 1: 40
+    term_ids = np.concatenate([np.zeros(260, np.int64), np.ones(40, np.int64)])
+    docids = np.concatenate([np.arange(260) * 3 + 1, np.arange(40) * 5 + 2]).astype(np.int64)
+    tfs = rng.integers(1, 6, size=n_postings).astype(np.int64)
+    dls = rng.integers(20, 90, size=n_postings).astype(np.int64)
+    # per-posting strictly increasing positions
+    runs = [np.sort(rng.choice(200, size=int(t), replace=False)) for t in tfs]
+    gaps = np.concatenate(
+        [np.concatenate([[r[0]], np.diff(r)]) for r in runs]
+    ).astype(np.int64)
+    blocks = encode_segment_blocks(term_ids, docids, tfs, dls, pos_gaps=gaps)
+    assert "positions_bin" in blocks and blocks["positions_bin"].size == blocks["n"].size
+    # decode each term's blocks in order, compare flat positions + starts
+    flat_want = np.concatenate(runs)
+    tf_by_block = []
+    pos_bins = []
+    cursor = 0
+    for b in range(blocks["n"].size):
+        nb = int(blocks["n"][b])
+        tf_by_block.append(tfs[cursor : cursor + nb])
+        pos_bins.append(blocks["positions_bin"][b])
+        cursor += nb
+    got, starts = decode_positions(np.concatenate(tf_by_block), pos_bins)
+    assert np.array_equal(got, flat_want)
+    assert np.array_equal(starts, np.concatenate([[0], np.cumsum(tfs)[:-1]]))
+
+
+# ------------------------------------------------- index-only phrase serving
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.sources import index_store
+
+    d = str(tmp_path_factory.mktemp("posidx"))
+    docs = generate_webtext(spark, 600).cache()
+    stats = build_index(docs, d, num_shards=5, store_positions=True)
+    docs_df = (
+        index_store.read_docmap(spark, d).select("docid", "url")
+        .join(docs.select("url", "text"), "url")
+        .select("docid", "text")
+        .cache()
+    )
+    docs_df.count()
+    docs.unpersist()
+    yield d, stats, docs_df
+    docs_df.unpersist()
+
+
+def test_phrase_indexed_equals_positionless(spark, pos_index):
+    """search_index_phrase (positions stream, no text re-read) must
+    return exactly the positionless search_phrase rows — including a
+    1-word phrase, a 3-word phrase, and an OOV phrase (0 rows)."""
+    import pandas as pd
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.postings import (
+        corpus_stats,
+        doc_freq,
+        scored_postings,
+        term_frequencies,
+    )
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        search_index_phrase,
+    )
+    from semantic_search_engine_spark.operators.topk import search_phrase
+
+    d, stats, docs_df = pos_index
+    assert stats["has_positions"] is True
+    reader = IndexReader(spark, d)
+    row = docs_df.orderBy("docid").first()
+    toks = tokenize(row["text"])
+    phrases = [
+        " ".join(toks[0:2]),
+        " ".join(toks[1:4]),
+        toks[0],
+        "zzzznotaword qqqqnotaword",
+    ]
+    st = corpus_stats(docs_df)
+    postings = term_frequencies(docs_df)
+    scored = scored_postings(postings, doc_freq(postings), st)
+    queries = [{"qid": i, "query": p, "k": 10} for i, p in enumerate(phrases)]
+    got = search_index_phrase(reader, queries).orderBy("qid", "rank").toPandas()
+    wants = []
+    for i, p in enumerate(phrases):
+        w = search_phrase(scored, docs_df, p, 10).toPandas()
+        w["qid"] = i
+        w["rank"] = np.arange(1, len(w) + 1)
+        wants.append(w)
+    want = pd.concat(wants)[["qid", "rank", "docid", "score"]].reset_index(drop=True)
+    assert len(got) > 0  # adjacent-pair phrase matched at least once
+    assert got[["qid", "rank", "docid"]].values.tolist() == want[["qid", "rank", "docid"]].values.tolist()
+    assert np.allclose(got["score"].values, want["score"].values, atol=1e-9)
+
+
+def test_phrase_on_positionless_index_raises(spark, tmp_path):
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        search_index_phrase,
+    )
+
+    d = str(tmp_path / "noposidx")
+    build_index(generate_webtext(spark, 120), d, num_shards=2)
+    with pytest.raises(ValueError, match="positions-enabled"):
+        search_index_phrase(IndexReader(spark, d), [{"qid": 0, "query": "a b", "k": 5}])
+
+
+def test_mixed_positions_append_refused(spark, tmp_path):
+    """A positions index appended WITHOUT store_positions must fail
+    loudly at finalize, not silently serve phrase queries from a
+    partially-covered positions stream."""
+    from semantic_search_engine_spark.operators.build import append_index, build_index
+
+    d = str(tmp_path / "mixidx")
+    build_index(generate_webtext(spark, 150), d, num_shards=2, store_positions=True)
+    # the refusal fires inside the finalize kernel → surfaces as a
+    # PythonException wrapping the ValueError; match on the message
+    with pytest.raises(Exception, match="positions"):
+        append_index(
+            generate_webtext(spark, 150, start=150), d, num_shards=2,
+            store_positions=False,
+        )
