@@ -580,15 +580,21 @@ class LocalIndexProbe:
         stats = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
         self.avgdl = float(stats["avgdl"])
         self.n_docs = int(stats["n_docs"])
+        self.has_positions = bool(stats.get("has_positions", False))
         self._post = ds.dataset(f"{index_dir}/postings", format="parquet")
         self._dict = ds.dataset(f"{index_dir}/dictionary", format="parquet")
         self._ds = ds
-        # term -> (idf, docids, tfs, dls) | None for known-OOV terms
+        # term -> (idf, docids, tfs, dls, positions|None, run_starts|None)
+        # | None for known-OOV terms
         self._cache: "OrderedDict[str, tuple | None]" = OrderedDict()
         self._cache_cap = cache_terms
 
-    def _load_terms(self, terms: list[str]) -> dict[str, tuple]:
-        miss = [t for t in terms if t not in self._cache]
+    def _load_terms(self, terms: list[str], positions: bool = False) -> dict[str, tuple]:
+        miss = [
+            t for t in terms
+            if t not in self._cache
+            or (positions and self._cache[t] is not None and self._cache[t][4] is None)
+        ]
         if miss:
             ds = self._ds
             idf_tbl = self._dict.to_table(
@@ -597,9 +603,11 @@ class LocalIndexProbe:
             idf_by_term = dict(
                 zip(idf_tbl.column("term").to_pylist(), idf_tbl.column("idf").to_pylist())
             )
+            cols = ["term", "first_docid", "n", "docids_bin", "tfs_bin", "dls_bin"]
+            if positions:
+                cols.append("positions_bin")
             blk = self._post.to_table(
-                columns=["term", "first_docid", "n", "docids_bin", "tfs_bin", "dls_bin"],
-                filter=ds.field("term").isin(miss),
+                columns=cols, filter=ds.field("term").isin(miss)
             ).to_pandas()
             for t in miss:
                 if t not in idf_by_term:
@@ -612,7 +620,11 @@ class LocalIndexProbe:
                 )
                 # shards are docid-disjoint and runs are first_docid-
                 # ordered, so the concatenation is already sorted-unique
-                self._cache[t] = (float(idf_by_term[t]), d, tf, dl)
+                if positions:
+                    pos, rs = decode_positions(tf, rows["positions_bin"])
+                else:
+                    pos, rs = None, None
+                self._cache[t] = (float(idf_by_term[t]), d, tf, dl, pos, rs)
         out = {}
         for t in terms:
             self._cache.move_to_end(t)
@@ -639,3 +651,39 @@ class LocalIndexProbe:
             cands, scores = cands[sel], scores[sel]
         order = np.lexsort((cands, -scores))[:k]
         return [(r + 1, int(cands[i]), float(scores[i])) for r, i in enumerate(order)]
+
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, int, float]]:
+        """[(rank, docid, score)] — phrase (adjacency-exact) top-k from
+        the positions stream, identical rows to
+        ``search_index_phrase`` for this (phrase, k). Needs a
+        ``store_positions=True`` index."""
+        if not self.has_positions:
+            raise ValueError(
+                "LocalIndexProbe.search_phrase needs a positions-enabled "
+                "index — build with store_positions=True"
+            )
+        words = tokenize(phrase)
+        if not words:
+            return []
+        qterms = sorted(set(words))
+        loaded = self._load_terms(qterms, positions=True)
+        if len(loaded) < len(qterms):
+            return []  # conjunctive: any OOV term voids the phrase
+        idf_map = {t: v[0] for t, v in loaded.items()}
+        data = {t: (v[1], v[2], v[3], v[4], v[5]) for t, v in loaded.items()}
+        cands = data[qterms[0]][0]
+        for t in qterms[1:]:
+            cands = np.intersect1d(cands, data[t][0], assume_unique=True)
+            if cands.size == 0:
+                return []
+        hits = _phrase_survivors(cands, words, data)
+        if hits.size == 0:
+            return []
+        per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
+        scores = _score_candidates(hits, per_term, idf_map, self.avgdl)
+        if scores.size > k:
+            kth = np.partition(scores, scores.size - k)[scores.size - k]
+            sel = np.flatnonzero(scores >= kth)
+            hits, scores = hits[sel], scores[sel]
+        order = np.lexsort((hits, -scores))[:k]
+        return [(r + 1, int(hits[i]), float(scores[i])) for r, i in enumerate(order)]

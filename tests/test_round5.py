@@ -171,6 +171,38 @@ def test_phrase_indexed_equals_positionless(spark, pos_index):
     assert np.allclose(got["score"].values, want["score"].values, atol=1e-9)
 
 
+def test_local_phrase_probe_equals_distributed(spark, pos_index):
+    """LocalIndexProbe.search_phrase (driver-local pyarrow reads) must
+    return exactly the distributed search_index_phrase rows — including
+    after a plain search() already cached the terms WITHOUT positions
+    (the cache upgrade path)."""
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        LocalIndexProbe,
+        search_index_phrase,
+    )
+
+    d, _, docs_df = pos_index
+    reader = IndexReader(spark, d)
+    probe = LocalIndexProbe(d)
+    row = docs_df.orderBy("docid").first()
+    toks = tokenize(row["text"])
+    phrases = [" ".join(toks[0:2]), " ".join(toks[2:5]), toks[3]]
+    # pre-warm the term cache positionless to exercise the upgrade
+    probe.search(phrases[0], k=5)
+    for i, p in enumerate(phrases):
+        want = [
+            (int(r["rank"]), int(r["docid"]), float(r["score"]))
+            for r in search_index_phrase(reader, [{"qid": 0, "query": p, "k": 10}])
+            .orderBy("rank")
+            .collect()
+        ]
+        got = [(r, dd, round(s, 9)) for r, dd, s in probe.search_phrase(p, k=10)]
+        want = [(r, dd, round(s, 9)) for r, dd, s in want]
+        assert got == want, f"phrase {p!r} diverged"
+
+
 def test_phrase_on_positionless_index_raises(spark, tmp_path):
     from semantic_search_engine_spark.operators.build import build_index
     from semantic_search_engine_spark.operators.query import (
