@@ -43,11 +43,14 @@ def stream_ingest(
     trigger: dict | None = None,
     text_col: str = "text",
     url_col: str = "url",
+    store_positions: bool = False,
 ):
     """Start a streaming query that ingests ``stream_df`` (the corpus
     schema: at least ``url_col`` + ``text_col``) into ``index_dir``.
     Returns the StreamingQuery; ``trigger`` is passed through (e.g.
-    ``{"availableNow": True}`` to drain and stop)."""
+    ``{"availableNow": True}`` to drain and stop). ``store_positions``
+    must match the base index's layout (finalize refuses a mixed
+    positions/positionless generation set)."""
     state = {"batches": 0}
     ckpt = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     # tag namespace = stable stream identity (checkpoint path hash):
@@ -71,6 +74,7 @@ def stream_ingest(
             url_col=url_col,
             tag=f"stream-{stream_id}-batch-{batch_id}",
             finalize=do_finalize,
+            store_positions=store_positions,
         )
 
     writer = stream_df.writeStream.foreachBatch(handle).option("checkpointLocation", ckpt)
