@@ -203,6 +203,49 @@ def test_local_phrase_probe_equals_distributed(spark, pos_index):
         assert got == want, f"phrase {p!r} diverged"
 
 
+def test_phrase_duplicate_words_positions(spark, tmp_path):
+    """A phrase with a repeated word must match only true adjacent
+    repetitions — the occurrence join uses the SAME decoded run at two
+    offsets, which is where a naive distinct-terms implementation would
+    over-match."""
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        search_index_phrase,
+    )
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", "alpha beta alpha gamma"),   # matches "alpha beta alpha"
+            ("u2", "alpha beta gamma alpha"),   # all terms, wrong adjacency
+            ("u3", "beta alpha beta"),          # matches "beta alpha beta"
+            ("u4", "alpha beta beta alpha"),    # neither
+        ],
+        "url string, text string",
+    )
+    d = str(tmp_path / "dupidx")
+    build_index(docs, d, num_shards=2, store_positions=True)
+    reader = IndexReader(spark, d)
+    url_by_docid = {
+        int(r["docid"]): r["url"] for r in read_docmap(spark, d).collect()
+    }
+    for phrase, want_urls in [
+        ("alpha beta alpha", {"u1"}),
+        ("beta alpha beta", {"u3"}),
+        ("beta beta", {"u4"}),
+        ("gamma alpha", {"u2"}),
+        ("alpha alpha", set()),
+    ]:
+        got = {
+            url_by_docid[int(r["docid"])]
+            for r in search_index_phrase(
+                reader, [{"qid": 0, "query": phrase, "k": 10}]
+            ).collect()
+        }
+        assert got == want_urls, f"{phrase!r}: {got} != {want_urls}"
+
+
 def test_phrase_on_positionless_index_raises(spark, tmp_path):
     from semantic_search_engine_spark.operators.build import build_index
     from semantic_search_engine_spark.operators.query import (
