@@ -329,6 +329,32 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-token bigrams by total count (ties bigram asc)
+    with document frequency — collocation statistics, pure higher-order
+    exprs + one groupBy (operators/textstats.py:bigram_counts)."""
+    res = textstats.bigram_counts(_docs(spark, sf_dir))
+    return res.orderBy(F.desc("cnt"), F.asc("bigram")).limit(30).select(
+        "bigram", F.col("cnt").cast("long").alias("cnt"), F.col("df").cast("long").alias("df")
+    )
+
+
+FUNNEL_QUALITY_T = 0.6  # ~median of the testdata quality distribution
+
+
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row C4-style cleaning funnel: total → lang=='en' → quality ≥
+    0.6 → exact-content-unique. Runs over the recrawl view (like
+    dedup_exact) so EVERY stage removes rows — lang drops non-en,
+    the threshold sits at the corpus quality median, and the recrawl
+    duplicates collapse in the unique stage. Single scan→project→agg
+    plan (operators/textstats.py:filter_funnel) — the composite the
+    individually-oracled lang/quality/fingerprint columns exist for."""
+    return textstats.filter_funnel(
+        _docs_with_recrawl(spark, sf_dir), quality_threshold=FUNNEL_QUALITY_T, lang="en"
+    )
+
+
 # ----------------------------------------------------------------- dedup
 RECRAWL_STEP = 50
 RECRAWL_ID_OFFSET = 10_000_000
@@ -610,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "text_bigrams": q_text_bigrams,
+        "corpus_filter_funnel": q_corpus_filter_funnel,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -745,6 +773,40 @@ FROM documents
         "doc_fingerprints": (
             "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents"
         ),
+        "text_bigrams": f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok WHERE len(ts) >= 2),
+bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
+SELECT bigram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
+FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "corpus_filter_funnel": f"""
+WITH crawl AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECRAWL_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {RECRAWL_STEP} = 0
+),
+per AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         round(0.4 * least(len({tok}) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len({tok}) > 0
+                        THEN len(list_distinct({tok}))::DOUBLE / len({tok}) ELSE 0.0 END)
+               + 0.3 * (CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+                        ELSE 0.0 END), 6) AS quality,
+         CASE WHEN {lang_hits['de']} >= greatest({lang_hits['en']}, {lang_hits['es']}, 1) THEN 'de'
+              WHEN {lang_hits['en']} >= greatest({lang_hits['es']}, 1) THEN 'en'
+              WHEN {lang_hits['es']} >= 1 THEN 'es'
+              ELSE 'und' END AS lang_pred
+  FROM crawl
+)
+SELECT count(*)::BIGINT AS n_total,
+       count(CASE WHEN lang_pred = 'en' THEN 1 END)::BIGINT AS n_lang,
+       count(CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T} THEN 1 END)::BIGINT AS n_quality,
+       count(DISTINCT CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T} THEN fp END)::BIGINT AS n_unique
+FROM per
+""",
         "dedup_exact": f"""
 WITH crawl AS (
   SELECT doc_id, text FROM documents

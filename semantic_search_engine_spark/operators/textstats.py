@@ -27,32 +27,39 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col), token_count_col(F.col(text_col)).alias("n_tokens"))
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Pinned quality heuristic (v1):
+def quality_col(text_col) -> "F.Column":
+    """Pinned quality heuristic (v1), rounded to 6 dp:
       q = 0.4·min(n_tokens/100, 1) + 0.3·distinct_ratio + 0.3·alnum_ratio
     where distinct_ratio = distinct tokens / tokens and alnum_ratio =
-    alnum chars / chars. Returns (id, n_tokens, quality)."""
-    ts = tokens_col(F.col(text_col))
+    alnum chars / chars."""
+    ts = tokens_col(text_col)
     n_tok = F.size(ts).cast("double")
     distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(ts)).cast("double") / n_tok).otherwise(0.0)
     n_chars = F.length(text_col).cast("double")
-    alnum = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")).cast("double")
+    alnum = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", "")).cast("double")
     alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(0.0)
     q = (
         F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * distinct_ratio
         + F.lit(0.3) * alnum_ratio
     )
+    return F.round(q, 6)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, quality) — see :func:`quality_col`."""
     return docs.select(
-        F.col(id_col), n_tok.cast("long").alias("n_tokens"), F.round(q, 6).alias("quality")
+        F.col(id_col),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        quality_col(F.col(text_col)).alias("quality"),
     )
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_pred_col(text_col) -> "F.Column":
     """Heuristic language-ID (v1, pinned): count marker-token hits per
     language; predict argmax with hits>0, deterministic tie-break by
-    language code; else 'und'. Returns (id, lang_pred)."""
-    ts = tokens_col(F.col(text_col))
+    language code; else 'und'."""
+    ts = tokens_col(text_col)
     hit_cols = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -64,11 +71,71 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         s = hit_cols[lang]
         pred = F.when(s >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
         best = F.greatest(best, s)
-    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+    return pred
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, lang_pred) — see :func:`lang_pred_col`."""
+    return docs.select(F.col(id_col), lang_pred_col(F.col(text_col)).alias("lang_pred"))
+
+
+def fingerprint_col(text_col) -> "F.Column":
+    """md5 of whitespace-normalized lowercase text — the rolling-hash-
+    style content fingerprint for lineage/dedup."""
+    norm = F.regexp_replace(F.trim(F.lower(text_col)), "\\s+", " ")
+    return F.md5(norm.cast("binary"))
 
 
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, fp) — md5 of whitespace-normalized lowercase text; the
-    rolling-hash-style content fingerprint for lineage/dedup."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
-    return docs.select(F.col(id_col), F.md5(norm.cast("binary")).alias("fp"))
+    """(id, fp) — see :func:`fingerprint_col`."""
+    return docs.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fp"))
+
+
+def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(bigram, cnt, df) — adjacent-token-pair collocation counts:
+    total occurrences and document frequency. Pure higher-order
+    expressions (sequence + transform inside codegen, one explode) —
+    the corpus-wide aggregate cousin of the per-query positions
+    adjacency check, and the n-gram statistics primitive of a
+    training-data pipeline. Single scan, one shuffle (the groupBy)."""
+    ts = tokens_col(F.col(text_col))
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("bigram"))
+    return ex.groupBy("bigram").agg(
+        F.count("*").alias("cnt"), F.countDistinct("_id").alias("df")
+    )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row C4-style cleaning funnel: total docs → predicted-``lang``
+    docs → + quality ≥ threshold → + exact-content-unique (distinct
+    fingerprints among survivors). Single scan, one projection, one
+    map-side-partial aggregate — the per-doc columns are computed
+    inline (quality_col / lang_pred_col / fingerprint_col), never
+    joined, so the plan stays a scan→project→agg at any corpus size."""
+    per = docs.select(
+        quality_col(F.col(text_col)).alias("_q"),
+        lang_pred_col(F.col(text_col)).alias("_l"),
+        fingerprint_col(F.col(text_col)).alias("_fp"),
+    )
+    keep = (F.col("_l") == lang) & (F.col("_q") >= quality_threshold)
+    return per.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count(F.when(F.col("_l") == lang, 1)).cast("long").alias("n_lang"),
+        F.count(F.when(keep, 1)).cast("long").alias("n_quality"),
+        F.countDistinct(F.when(keep, F.col("_fp"))).cast("long").alias("n_unique"),
+    )

@@ -63,6 +63,44 @@ def test_exact_ranks_tie_epsilon_robust(spark):
     assert got == {0: {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}}
 
 
+# ---------------------------------------------------------- textstats additions
+
+def test_bigram_counts_semantics(spark):
+    from semantic_search_engine_spark.operators.textstats import bigram_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # bigrams: "a b" x2, "b a" x1
+            (2, "a b"),         # "a b" x1
+            (3, "solo"),        # no bigrams
+            (4, ""),            # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["bigram"]: (r["cnt"], r["df"]) for r in bigram_counts(docs).collect()}
+    assert rows == {"a b": (3, 2), "b a": (1, 1)}
+
+
+def test_filter_funnel_stages(spark):
+    from semantic_search_engine_spark.operators.textstats import filter_funnel
+
+    en = "the cat and the dog ran to the house of cards " * 10
+    docs = spark.createDataFrame(
+        [
+            (1, en),            # en, high quality
+            (2, en),            # exact duplicate of 1
+            (3, "der hund und die katze ist da " * 10),  # de
+            (4, "the the the the the"),  # en but low distinct ratio
+        ],
+        "doc_id long, text string",
+    )
+    row = filter_funnel(docs, quality_threshold=0.6, lang="en").collect()[0]
+    assert row["n_total"] == 4
+    assert row["n_lang"] == 3       # docs 1, 2, 4
+    assert row["n_quality"] == 2    # doc 4 fails distinct-ratio-driven quality
+    assert row["n_unique"] == 1     # docs 1 and 2 collapse
+
+
 # ---------------------------------------------------------- positions codec
 
 def test_positions_codec_roundtrip():
