@@ -439,10 +439,19 @@ def search_index_phrase(
     postings all live in one shard, so the intersection is per-shard
     local), adjacency verified from decoded positions, survivors
     ranked by BM25 over the distinct terms under (score desc, docid
-    asc). Per shard-group decode volume is the phrase terms' blocks
-    only (pushed ``term isin`` scan filter), positions included —
-    that's the bytes-for-latency trade vs the text-fetch plan, and at
-    100 TB it removes the corpus random-read per query entirely."""
+    asc). Decode volume per shard group is rarest-first: the least
+    frequent phrase term decodes fully to seed the candidate set, and
+    every other term decodes ONLY blocks whose (first_docid,
+    last_docid) range overlaps surviving candidates — a phrase
+    containing a stop-word-frequency term pays for the rare term's
+    postings, not the stop word's (the block-skip analog of WAND's
+    θ pruning, driven by the conjunctive cut instead of score
+    bounds). The stored text is never read; that's the
+    bytes-for-latency trade vs the text-fetch plan, and at 100 TB it
+    removes the corpus random-read per query entirely. Query plans
+    ship in the kernel closure (phrase batches are small; a mega-batch
+    phrase workload would move to the WAND path's broadcast-plan
+    pattern)."""
     spark = reader.spark
     if not reader.stats.get("has_positions"):
         raise ValueError(
@@ -478,28 +487,52 @@ def search_index_phrase(
         )
         if len(pdf) == 0:
             return empty
-        # decode each present term's runs ONCE (ordered by first_docid;
-        # shard runs are docid-disjoint → concatenation sorted-unique)
-        data: dict[str, tuple] = {}
-        for t, rows in pdf.groupby("term", sort=False):
-            rows = rows.sort_values("first_docid")
+        # blocks grouped per term, NOT decoded yet — decode is driven
+        # rarest-first per query below. Runs are first_docid-ordered and
+        # docid-disjoint, so any subset's concatenation is sorted-unique.
+        by_term = {
+            t: rows.sort_values("first_docid")
+            for t, rows in pdf.groupby("term", sort=False)
+        }
+        full_cache: dict[str, tuple] = {}
+
+        def decode_rows(rows) -> tuple:
             d, tf, dl, _ = decode_blocks_batch(
                 rows["first_docid"].to_numpy(), rows["n"].to_numpy(),
                 rows["docids_bin"], rows["tfs_bin"], rows["dls_bin"],
             )
             pos, rs = decode_positions(tf, rows["positions_bin"])
-            data[t] = (d, tf, dl, pos, rs)
+            return (d, tf, dl, pos, rs)
 
         outs = []
         for qid, k, words in known_plan:
             qterms = sorted(set(words))
-            if any(t not in data for t in qterms):
+            if any(t not in by_term for t in qterms):
                 continue  # conjunctive: all terms must appear in this group
-            cands = data[qterms[0]][0]
-            for t in qterms[1:]:
-                cands = np.intersect1d(cands, data[t][0], assume_unique=True)
+            # rarest term first (fewest postings in this group): decode
+            # it fully; every later term decodes only blocks overlapping
+            # the surviving candidate set. Coverage invariant: a final
+            # hit's posting in term t lives in a block whose range
+            # contains the hit, and the hit was a candidate when t's
+            # blocks were selected — so kept blocks cover every hit for
+            # both verification and scoring.
+            order_t = sorted(qterms, key=lambda t: (int(by_term[t]["n"].sum()), t))
+            if order_t[0] not in full_cache:
+                full_cache[order_t[0]] = decode_rows(by_term[order_t[0]])
+            data: dict[str, tuple] = {order_t[0]: full_cache[order_t[0]]}
+            cands = data[order_t[0]][0]
+            for t in order_t[1:]:
                 if cands.size == 0:
                     break
+                rows = by_term[t]
+                lo = np.searchsorted(cands, rows["first_docid"].to_numpy())
+                hi = np.searchsorted(cands, rows["last_docid"].to_numpy(), side="right")
+                sel = np.flatnonzero(hi > lo)
+                if sel.size == 0:
+                    cands = np.empty(0, dtype=np.int64)
+                    break
+                data[t] = decode_rows(rows.iloc[sel])
+                cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 continue
             hits = _phrase_survivors(cands, words, data)
