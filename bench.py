@@ -120,12 +120,13 @@ def main() -> None:
         queries = generate_queries(
             n_queries=int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", 50))
         )
-        # SPARK_GRAFT_BENCH_ONLY (below) also gates the phrase block —
-        # scaling runs with ONLY="build,wand" skip it entirely
-        _only_probe = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-        _sel_probe = (
-            {s.strip() for s in _only_probe.split(",") if s.strip()} if _only_probe else None
-        )
+        # SPARK_GRAFT_BENCH_ONLY: comma-separated selector over the
+        # suite rows AND the one-off blocks below (e.g.
+        # "tpch_q1,phrase"). The headline build+wand timings always
+        # run; "build"/"wand" are accepted no-ops so scaling runs can
+        # say ONLY="build,wand" to select nothing else.
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+        selected = {s.strip() for s in only.split(",") if s.strip()} if only else None
 
         # phrase serving, both plans over the SAME corpus: positionless
         # (conjunctive cut + candidates-only text re-read) vs positions
@@ -133,7 +134,7 @@ def main() -> None:
         # are built once; each rep times the 8-phrase batch on both.
         phrase_queries = None
         extras: dict = {}
-        if _sel_probe is None or "phrase" in _sel_probe:
+        if selected is None or "phrase" in selected:
             from pyspark.sql import functions as F
 
             from semantic_search_engine_spark.functions.tokenizer import tokenize
@@ -190,7 +191,7 @@ def main() -> None:
                     .select("docid")
                 )
                 _textb += int(
-                    docs_ids.join(cand, "docid").agg(F.sum(F.length("text"))).collect()[0][0]
+                    docs_ids.join(cand, "docid").agg(F.sum(F.octet_length("text"))).collect()[0][0]
                     or 0
                 )
             extras["phrase_decode_volume"] = {
@@ -200,14 +201,6 @@ def main() -> None:
                 "text_plan_bytes": _base + _textb,
                 "candidate_text_bytes": _textb,
             }
-        # SPARK_GRAFT_BENCH_ONLY: comma-separated selector over the
-        # sf-table suite below (e.g. "tpch_q1,ann_cosine"). The headline
-        # build+wand timings always run; the aliases "build"/"wand" are
-        # accepted no-ops so scaling runs can say ONLY="build,wand" to
-        # select none of the suite.
-        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-        selected = {s.strip() for s in only.split(",") if s.strip()} if only else None
-
         # neardup auto-sizing at REAL widths, once per run: with
         # hash_bits=None the bucket count tracks n, so the banded
         # join's candidate volume must grow ~linearly in n (not n²).
@@ -215,7 +208,7 @@ def main() -> None:
         # join at 100k and 200k seeded vectors (the claim's quantity —
         # the sf embeddings table is 2k rows, far below where any of
         # this matters).
-        if _sel_probe is None or "neardup_scaling" in _sel_probe:
+        if selected is None or "neardup_scaling" in selected:
             from pyspark.sql import functions as F
 
             from semantic_search_engine_spark.fixtures.vectors import generate_vectors

@@ -197,7 +197,13 @@ def encode_segment_blocks(
         "dls_bin": _slice(payload_l, ends_l),
     }
     if pos_gaps is not None:
-        assert pos_gaps.size == int(tfs.sum()), "one positions entry per token occurrence"
+        if pos_gaps.size != int(tfs.sum()):
+            # loud even under python -O: a misaligned stream would be
+            # silently sliced into corrupt per-block payloads
+            raise ValueError(
+                f"pos_gaps has {pos_gaps.size} entries but tfs sum to "
+                f"{int(tfs.sum())} — one positions entry per token occurrence"
+            )
         payload_p, ends_p = varint_encode_with_offsets(pos_gaps.astype(np.uint64))
         # posting-boundary → token-boundary: posting p's run starts at
         # tok_cum[p]; block b covers token span [tok_cum[bs], tok_cum[be])

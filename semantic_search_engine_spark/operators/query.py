@@ -459,14 +459,15 @@ def search_index_phrase(
             "build with store_positions=True (falling back to "
             "topk.search_phrase re-reads stored text instead)"
         )
-    plan, terms = _query_plan(queries)
+    # word ORDER and duplicates matter for phrases, so the plan keeps
+    # each query's full word list (not _query_plan's distinct sets)
+    tokenized = [(int(q["qid"]), int(q["k"]), tokenize(q["query"])) for q in queries]
+    terms = sorted({t for _, _, ws in tokenized for t in ws})
     idf_map = reader.idf_map(terms)
     # conjunctive semantics: any unknown term voids its query
-    known_plan = []
-    for q in queries:
-        words = tokenize(q["query"])
-        if words and all(t in idf_map for t in words):
-            known_plan.append((int(q["qid"]), int(q["k"]), words))
+    known_plan = [
+        (qid, k, ws) for qid, k, ws in tokenized if ws and all(t in idf_map for t in ws)
+    ]
     if not known_plan:
         return _empty_result(spark)
     avgdl = float(reader.stats["avgdl"])

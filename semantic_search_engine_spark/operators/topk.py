@@ -119,7 +119,14 @@ def search_phrase(
     references the candidate side's ``score`` (non-splittable, refers
     to both sides → must stay above the join). Semantically identical:
     ``score`` is a SUM over non-null impacts, never null on a joined
-    row. Asserted in tests/test_plan_audit.py."""
+    row. Asserted in tests/test_plan_audit.py.
+
+    The join strategy is deliberately NOT pinned: candidates per
+    phrase are usually tiny (AQE broadcasts them at runtime), but a
+    phrase of two near-stop-words can produce a candidate set that is
+    a sizable fraction of the corpus — a forced ``broadcast()`` hint
+    would bypass the size threshold and OOM the driver exactly there,
+    while a shuffle join still completes."""
     from ..functions.tokenizer import tokens_col
 
     words = tokenize(phrase)
@@ -135,7 +142,7 @@ def search_phrase(
     )
     joined = docs.select(
         F.col(id_col).alias("docid"), F.col(text_col).alias("_text")
-    ).join(F.broadcast(cand), "docid")
+    ).join(cand, "docid")
     verify = F.when(
         F.col("score").isNotNull(),
         phrase_match_expr(tokens_col(F.col("_text")), words),

@@ -60,9 +60,17 @@ def test_phrase_verify_stays_above_candidate_join(spark):
     scored = scored_postings(postings, doc_freq(postings), stats)
     res = search_phrase(scored, docs.select("docid", "text"), "bababa cecece", 5)
     lines = audit.physical_plan(res).splitlines()
-    join_at = [i for i, ln in enumerate(lines) if "BroadcastHashJoin [docid" in ln]
+    # join strategy is AQE's choice (broadcast for small candidate
+    # sets, shuffle for stop-word-scale ones) — the invariant under
+    # audit is WHERE the adjacency predicate evaluates, not which
+    # join operator runs
+    join_at = [
+        i for i, ln in enumerate(lines)
+        if ("Join [docid" in ln or "Join docid" in ln or "HashJoin [docid" in ln
+            or "SortMergeJoin [docid" in ln)
+    ]
     adj_at = [i for i, ln in enumerate(lines) if "exists(" in ln]
-    assert join_at and adj_at  # candidate join broadcast; adjacency survived
+    assert join_at and adj_at  # candidate join present; adjacency survived
     # filter at/above the candidate join (Catalyst may fold it into the
     # join condition — same guarantee); never pushed into the scan below
     assert min(adj_at) <= min(join_at)
