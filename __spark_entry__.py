@@ -294,6 +294,72 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 """
 
 
+NEAR_QUERY = "data merge group"  # ordered within-gap-3: 12 docs at sf0.01
+NEAR_GAP = 3
+
+
+def q_bm25_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-proximity retrieval (Lucene-style ordered slop): the
+    words in order with every consecutive in-doc gap ≤ 3, verified
+    from the positions stream (search_index_phrase(max_gap=3) — the
+    chain filter over the same index the phrase entry uses), survivors
+    BM25-ranked over the distinct terms."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
+
+    key = f"pos:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        from semantic_search_engine_spark.operators.build import build_index
+
+        d = tempfile.mkdtemp(prefix="ssse_pos_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        build_index(docs, d, num_shards=8, store_positions=True)
+        _WAND_CACHE[key] = d
+    d = _WAND_CACHE[key]
+    res = search_index_phrase(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": NEAR_QUERY, "k": BM25_K}],
+        keep_boundary_ties=True,
+        max_gap=NEAR_GAP,
+    )
+    return _docmap_rerank(spark, d, res)
+
+
+def _bm25_near_oracle(k: int) -> str:
+    words = NEAR_QUERY.split()
+    terms = ", ".join(f"'{t}'" for t in sorted(set(words)))
+    tok = TOK_SQL.format(col="text")
+    joins = []
+    prev = "a"
+    for i, w in enumerate(words[1:], 1):
+        cur = f"t{i}"
+        joins.append(
+            f"JOIN tp {cur} ON {cur}.doc_id = {prev}.doc_id AND {cur}.term = '{w}' "
+            f"AND {cur}.pos - {prev}.pos BETWEEN 1 AND {NEAR_GAP}"
+        )
+        prev = cur
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+tp AS (SELECT doc_id, unnest({tok}) AS term, generate_subscripts({tok}, 1) AS pos FROM documents),
+nr AS (SELECT DISTINCT a.doc_id FROM tp a {' '.join(joins)} WHERE a.term = '{words[0]}'),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+       JOIN nr ON tf.doc_id = nr.doc_id CROSS JOIN st
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = (SELECT count(DISTINCT term) FROM q)
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
 def q_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("term"))
@@ -629,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
+        "bm25_near_topk": q_bm25_near_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
@@ -741,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conjunctive_topk": _bm25_conjunctive_oracle(BM25_K),
         "bm25_phrase_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),
+        "bm25_near_topk": _bm25_near_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)

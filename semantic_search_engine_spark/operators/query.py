@@ -421,8 +421,55 @@ def _phrase_survivors(cands: np.ndarray, words: list[str], data: dict) -> np.nda
     return cands[np.unique(keys // M)]
 
 
+def _chain_survivors(
+    cands: np.ndarray, words: list[str], data: dict, max_gap: int
+) -> np.ndarray:
+    """Ordered within-gap (proximity) match: the subset of candidates
+    containing positions p_0 < p_1 < … < p_{L-1}, one per word in
+    order, with every consecutive gap in [1, max_gap]. ``max_gap=1``
+    is exactly phrase adjacency.
+
+    Chain filter, one sorted-array pass per word: S_0 = word 0's
+    occurrence keys; S_j keeps word j's occurrences with a predecessor
+    in [key−max_gap, key). Keys are cand_index·M + position with
+    M > max position + max_gap, so windows can never cross documents.
+    O(total candidate positions · L) with binary searches — no per-doc
+    Python loop."""
+    if cands.size == 0 or not words:
+        return cands
+    M = (
+        max(int(data[w][3].max()) if data[w][3].size else 0 for w in set(words))
+        + max_gap + 2
+    )
+
+    def keys_for(w: str) -> np.ndarray:
+        d, tf, _, pos, rs = data[w]
+        r = np.searchsorted(d, cands)
+        counts = tf[r]
+        total = int(counts.sum())
+        out_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.repeat(rs[r] - out_start, counts) + np.arange(total, dtype=np.int64)
+        ci = np.repeat(np.arange(cands.size, dtype=np.int64), counts)
+        return ci * M + pos[idx]  # ci asc, positions asc per run → sorted
+
+    survivors = keys_for(words[0])
+    for w in words[1:]:
+        if survivors.size == 0:
+            return np.empty(0, dtype=np.int64)
+        q = keys_for(w)
+        lo = np.searchsorted(survivors, q - max_gap)
+        hi = np.searchsorted(survivors, q)  # predecessors strictly below q
+        survivors = q[hi > lo]
+    if survivors.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return cands[np.unique(survivors // M)]
+
+
 def search_index_phrase(
-    reader: IndexReader, queries: list[dict], keep_boundary_ties: bool = False
+    reader: IndexReader,
+    queries: list[dict],
+    keep_boundary_ties: bool = False,
+    max_gap: int = 1,
 ) -> DataFrame:
     """Index-only phrase retrieval: (qid, rank, docid, score) for
     phrase queries, verified from the POSITIONS stream — the stored
@@ -433,6 +480,12 @@ def search_index_phrase(
     every shard emits all docs tying its k-th score and the global
     merge keeps every potential top-k member, for callers re-breaking
     ties under their own ordering (e.g. external doc_id).
+
+    ``max_gap`` relaxes adjacency to ordered proximity (Lucene-style
+    ordered slop): the words must appear in order with every
+    consecutive in-doc gap in [1, max_gap]. The default 1 is exact
+    phrase adjacency; larger gaps use the same candidate cut and
+    positions streams with the chain filter (:func:`_chain_survivors`).
 
     Rows are identical to the positionless plan: candidates = docs
     containing every distinct phrase term (conjunctive cut — a doc's
@@ -536,7 +589,11 @@ def search_index_phrase(
                 cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 continue
-            hits = _phrase_survivors(cands, words, data)
+            hits = (
+                _phrase_survivors(cands, words, data)
+                if max_gap == 1
+                else _chain_survivors(cands, words, data, max_gap)
+            )
             if hits.size == 0:
                 continue
             per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
@@ -686,11 +743,13 @@ class LocalIndexProbe:
         order = np.lexsort((cands, -scores))[:k]
         return [(r + 1, int(cands[i]), float(scores[i])) for r, i in enumerate(order)]
 
-    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, int, float]]:
-        """[(rank, docid, score)] — phrase (adjacency-exact) top-k from
-        the positions stream, identical rows to
-        ``search_index_phrase`` for this (phrase, k). Needs a
-        ``store_positions=True`` index."""
+    def search_phrase(
+        self, phrase: str, k: int = 10, max_gap: int = 1
+    ) -> list[tuple[int, int, float]]:
+        """[(rank, docid, score)] — phrase (adjacency-exact, or ordered
+        proximity with ``max_gap`` > 1) top-k from the positions
+        stream, identical rows to ``search_index_phrase`` for this
+        (phrase, k, max_gap). Needs a ``store_positions=True`` index."""
         if not self.has_positions:
             raise ValueError(
                 "LocalIndexProbe.search_phrase needs a positions-enabled "
@@ -710,7 +769,11 @@ class LocalIndexProbe:
             cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 return []
-        hits = _phrase_survivors(cands, words, data)
+        hits = (
+            _phrase_survivors(cands, words, data)
+            if max_gap == 1
+            else _chain_survivors(cands, words, data, max_gap)
+        )
         if hits.size == 0:
             return []
         per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}

@@ -284,6 +284,52 @@ def test_phrase_duplicate_words_positions(spark, tmp_path):
         assert got == want_urls, f"{phrase!r}: {got} != {want_urls}"
 
 
+def test_ordered_proximity_chain_semantics(spark, tmp_path):
+    """max_gap>1: words in order with every consecutive gap ≤ max_gap;
+    gap=1 must equal exact adjacency; out-of-order never matches."""
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        LocalIndexProbe,
+        search_index_phrase,
+    )
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", "alpha x beta y gamma"),      # gaps 2,2
+            ("u2", "alpha beta gamma"),          # gaps 1,1 (adjacent)
+            ("u3", "alpha x y z beta gamma"),    # gap 4 then 1
+            ("u4", "gamma beta alpha"),          # wrong order
+            ("u5", "alpha beta x x x gamma"),    # gaps 1,4
+        ],
+        "url string, text string",
+    )
+    d = str(tmp_path / "nearidx")
+    build_index(docs, d, num_shards=2, store_positions=True)
+    reader = IndexReader(spark, d)
+    url_by_docid = {int(r["docid"]): r["url"] for r in read_docmap(spark, d).collect()}
+
+    def hits(max_gap):
+        return {
+            url_by_docid[int(r["docid"])]
+            for r in search_index_phrase(
+                reader,
+                [{"qid": 0, "query": "alpha beta gamma", "k": 10}],
+                max_gap=max_gap,
+            ).collect()
+        }
+
+    assert hits(1) == {"u2"}
+    assert hits(2) == {"u1", "u2"}
+    assert hits(4) == {"u1", "u2", "u3", "u5"}
+    # local probe agrees at every gap
+    probe = LocalIndexProbe(d)
+    for g in (1, 2, 4):
+        got = {url_by_docid[dd] for _, dd, _ in probe.search_phrase("alpha beta gamma", k=10, max_gap=g)}
+        assert got == hits(g)
+
+
 def test_phrase_on_positionless_index_raises(spark, tmp_path):
     from semantic_search_engine_spark.operators.build import build_index
     from semantic_search_engine_spark.operators.query import (
