@@ -343,6 +343,50 @@ def test_phrase_on_positionless_index_raises(spark, tmp_path):
         search_index_phrase(IndexReader(spark, d), [{"qid": 0, "query": "a b", "k": 5}])
 
 
+def test_phrase_across_positions_append(spark, tmp_path):
+    """A positions index built incrementally (base + append_index, both
+    store_positions=True) must answer phrase and proximity queries
+    identically to the all-at-once build — generations only shift
+    docid ranges, never positions."""
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.build import append_index, build_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        search_index_phrase,
+    )
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    full = generate_webtext(spark, 400).cache()
+    d_once = str(tmp_path / "once")
+    build_index(full, d_once, num_shards=3, store_positions=True)
+    d_incr = str(tmp_path / "incr")
+    half = F.pmod(F.xxhash64("url"), F.lit(2))  # % keeps the hash's sign
+    build_index(
+        full.filter(half == 0), d_incr, num_shards=2, store_positions=True
+    )
+    append_index(
+        full.filter(half == 1), d_incr, num_shards=2, store_positions=True
+    )
+    toks = tokenize(full.orderBy("url").first()["text"])
+    full.unpersist()
+    queries = [
+        {"qid": 0, "query": " ".join(toks[0:2]), "k": 10},
+        {"qid": 1, "query": " ".join(toks[1:4]), "k": 10},
+    ]
+
+    def served(d, **kw):
+        url = {int(r["docid"]): r["url"] for r in read_docmap(spark, d).collect()}
+        rows = search_index_phrase(IndexReader(spark, d), queries, **kw).collect()
+        # compare on external urls: the two layouts mint different docids
+        return sorted(
+            (int(r["qid"]), url[int(r["docid"])], round(float(r["score"]), 9))
+            for r in rows
+        )
+
+    for kw in ({}, {"max_gap": 3}):
+        assert served(d_once, **kw) == served(d_incr, **kw), f"diverged at {kw}"
+
+
 def test_mixed_positions_append_refused(spark, tmp_path):
     """A positions index appended WITHOUT store_positions must fail
     loudly at finalize, not silently serve phrase queries from a
