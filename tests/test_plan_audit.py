@@ -46,6 +46,18 @@ def test_exhaustive_topk_is_take_ordered(spark):
     assert audit.codegen_stage_count(res) >= 2
 
 
+def test_filter_funnel_is_single_pass(spark):
+    """The cleaning funnel claims one scan→project→agg — no joins, no
+    second read of the corpus (the per-doc columns are computed inline,
+    not joined from separate per-column DataFrames)."""
+    from semantic_search_engine_spark.operators.textstats import filter_funnel
+
+    docs = generate_webtext(spark, 200).select("url", "text")
+    plan = audit.physical_plan(filter_funnel(docs, id_col="url"))
+    assert "Join" not in plan
+    assert plan.count("Range") == 1  # the generator source appears once
+
+
 def test_phrase_verify_stays_above_candidate_join(spark):
     """The tokenize+adjacency predicate must evaluate ONLY on joined
     candidate rows. Catalyst pushes deterministic single-side filters
