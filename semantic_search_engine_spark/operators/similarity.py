@@ -409,6 +409,28 @@ class LocalIVFProbe:
             self._cache.popitem(last=False)
         return out
 
+    def search_batch(
+        self, query_vecs, k: int = 10, n_probe: int = 4
+    ) -> list[list[tuple[int, float]]]:
+        """Per-query results for a BATCH of vectors, identical rows to
+        ``search`` on each — but the union of every query's probed
+        buckets is loaded in ONE partition-filtered dataset read before
+        any scoring, so a cold batch pays one parquet round-trip
+        instead of one per query. The middle ground between single
+        probes and ``IVFIndex.search_batch``'s Spark job: right for
+        10-1000-query batches in a serving process."""
+        qm = np.asarray(query_vecs, dtype=np.float64)
+        if qm.ndim == 1:
+            qm = qm[None, :]
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        scores = qn @ self._cn.T  # (nq, n_clusters)
+        probes = [
+            [int(b) for b in np.argsort(scores[i])[-n_probe:]] for i in range(qn.shape[0])
+        ]
+        # one batched load of every distinct probed bucket (LRU-cached)
+        self._load_buckets(sorted({b for p in probes for b in p}))
+        return [self.search(qm[i], k=k, n_probe=n_probe) for i in range(qm.shape[0])]
+
     def search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
         """[(id, cos)] — identical rows to ``IVFIndex.search(...)``."""
         q = np.asarray(query_vec, dtype=np.float64)

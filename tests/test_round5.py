@@ -63,6 +63,29 @@ def test_exact_ranks_tie_epsilon_robust(spark):
     assert got == {0: {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}}
 
 
+# ------------------------------------------------- local IVF batched serving
+
+def test_local_ivf_probe_batch_equals_single(spark, tmp_path):
+    """LocalIVFProbe.search_batch (one batched bucket load for the
+    whole query set) must return exactly the per-query search rows,
+    both cold (fresh probe) and warm."""
+    from semantic_search_engine_spark.operators import similarity
+
+    emb = generate_vectors(spark, 3000, dim=16).cache()
+    emb.count()
+    ivf = similarity.IVFIndex.build(emb, n_clusters=8, sample_cap=1000)
+    d = str(tmp_path / "ivf")
+    ivf.save(d)
+    queries = generate_query_vectors(6, dim=16)
+    fresh = similarity.LocalIVFProbe(d)
+    cold_batch = fresh.search_batch(queries, k=5, n_probe=3)
+    single = [fresh.search(q, k=5, n_probe=3) for q in queries]
+    assert cold_batch == single
+    assert fresh.search_batch(queries, k=5, n_probe=3) == single  # warm
+    ivf.assigned.unpersist()
+    emb.unpersist()
+
+
 # ---------------------------------------------------------- textstats additions
 
 def test_bigram_counts_semantics(spark):
@@ -385,6 +408,48 @@ def test_phrase_across_positions_append(spark, tmp_path):
 
     for kw in ({}, {"max_gap": 3}):
         assert served(d_once, **kw) == served(d_incr, **kw), f"diverged at {kw}"
+
+
+def test_stream_ingest_positions_serves_phrases(spark, tmp_path):
+    """Streamed micro-batches with store_positions=True build a
+    phrase-servable index: results match the all-at-once positions
+    build (compared on urls; generations mint different docids)."""
+    from semantic_search_engine_spark.fixtures.webtext import SCHEMA
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.build import build_index, finalize_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        search_index_phrase,
+    )
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+    from semantic_search_engine_spark.streaming.ingest import stream_ingest
+
+    n = 300
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    full = str(tmp_path / "full")
+    generate_webtext(spark, n).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = stream_ingest(
+        stream, idx, num_shards_per_batch=2, trigger={"availableNow": True},
+        store_positions=True,
+    )
+    q.awaitTermination(180)
+    finalize_index(spark, idx)
+    docs = generate_webtext(spark, n)
+    build_index(docs, full, num_shards=3, store_positions=True)
+    toks = tokenize(docs.orderBy("url").first()["text"])
+    queries = [{"qid": 0, "query": " ".join(toks[0:2]), "k": 10}]
+
+    def served(d):
+        url = {int(r["docid"]): r["url"] for r in read_docmap(spark, d).collect()}
+        rows = search_index_phrase(IndexReader(spark, d), queries).collect()
+        return sorted(
+            (url[int(r["docid"])], round(float(r["score"]), 9)) for r in rows
+        )
+
+    got, want = served(idx), served(full)
+    assert got and got == want
 
 
 def test_mixed_positions_append_refused(spark, tmp_path):
