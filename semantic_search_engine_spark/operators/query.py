@@ -486,6 +486,9 @@ def search_index_phrase(
     consecutive in-doc gap in [1, max_gap]. The default 1 is exact
     phrase adjacency; larger gaps use the same candidate cut and
     positions streams with the chain filter (:func:`_chain_survivors`).
+    A query dict may carry its own ``"gap"`` key to override
+    ``max_gap`` per query — one batch can mix phrase and proximity
+    retrieval.
 
     Rows are identical to the positionless plan: candidates = docs
     containing every distinct phrase term (conjunctive cut — a doc's
@@ -514,17 +517,20 @@ def search_index_phrase(
         )
     # word ORDER and duplicates matter for phrases, so the plan keeps
     # each query's full word list (not _query_plan's distinct sets)
-    tokenized = [(int(q["qid"]), int(q["k"]), tokenize(q["query"])) for q in queries]
-    terms = sorted({t for _, _, ws in tokenized for t in ws})
+    tokenized = [
+        (int(q["qid"]), int(q["k"]), tokenize(q["query"]), int(q.get("gap", max_gap)))
+        for q in queries
+    ]
+    terms = sorted({t for _, _, ws, _ in tokenized for t in ws})
     idf_map = reader.idf_map(terms)
     # conjunctive semantics: any unknown term voids its query
     known_plan = [
-        (qid, k, ws) for qid, k, ws in tokenized if ws and all(t in idf_map for t in ws)
+        (qid, k, ws, g) for qid, k, ws, g in tokenized if ws and all(t in idf_map for t in ws)
     ]
     if not known_plan:
         return _empty_result(spark)
     avgdl = float(reader.stats["avgdl"])
-    used = sorted({t for _, _, ws in known_plan for t in ws})
+    used = sorted({t for _, _, ws, _ in known_plan for t in ws})
 
     per_cpu = int(os.environ.get("SSSE_WAND_GROUPS_PER_CPU", "4"))
     n_groups = per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -559,7 +565,7 @@ def search_index_phrase(
             return (d, tf, dl, pos, rs)
 
         outs = []
-        for qid, k, words in known_plan:
+        for qid, k, words, gap in known_plan:
             qterms = sorted(set(words))
             if any(t not in by_term for t in qterms):
                 continue  # conjunctive: all terms must appear in this group
@@ -591,8 +597,8 @@ def search_index_phrase(
                 continue
             hits = (
                 _phrase_survivors(cands, words, data)
-                if max_gap == 1
-                else _chain_survivors(cands, words, data, max_gap)
+                if gap == 1
+                else _chain_survivors(cands, words, data, gap)
             )
             if hits.size == 0:
                 continue

@@ -91,26 +91,37 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return docs.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fp"))
 
 
-def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(bigram, cnt, df) — adjacent-token-pair collocation counts:
+def ngram_counts(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(ngram, cnt, df) — adjacent-token n-gram collocation counts:
     total occurrences and document frequency. Pure higher-order
     expressions (sequence + transform inside codegen, one explode) —
     the corpus-wide aggregate cousin of the per-query positions
     adjacency check, and the n-gram statistics primitive of a
     training-data pipeline. Single scan, one shuffle (the groupBy)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     ts = tokens_col(F.col(text_col))
-    bigrams = F.when(
-        F.size(ts) >= 2,
+    grams = F.when(
+        F.size(ts) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 1),
+            F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
             lambda i: F.concat_ws(
-                " ", F.element_at(ts, i), F.element_at(ts, i + F.lit(1))
+                " ", *[F.element_at(ts, i + F.lit(j)) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("bigram"))
-    return ex.groupBy("bigram").agg(
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
+    return ex.groupBy("ngram").agg(
         F.count("*").alias("cnt"), F.countDistinct("_id").alias("df")
+    )
+
+
+def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(bigram, cnt, df) — :func:`ngram_counts` at n=2."""
+    return ngram_counts(docs, n=2, id_col=id_col, text_col=text_col).withColumnRenamed(
+        "ngram", "bigram"
     )
 
 

@@ -104,6 +104,19 @@ def test_bigram_counts_semantics(spark):
     assert rows == {"a b": (3, 2), "b a": (1, 1)}
 
 
+def test_ngram_counts_general(spark):
+    from semantic_search_engine_spark.operators.textstats import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b a"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    tri = {r["ngram"]: (r["cnt"], r["df"]) for r in ngram_counts(docs, n=3).collect()}
+    assert tri == {"a b a": (3, 2), "b a b": (1, 1)}
+    uni = {r["ngram"]: (r["cnt"], r["df"]) for r in ngram_counts(docs, n=1).collect()}
+    assert uni == {"a": (5, 2), "b": (3, 2), "x": (1, 1), "y": (1, 1)}
+
+
 def test_filter_funnel_stages(spark):
     from semantic_search_engine_spark.operators.textstats import filter_funnel
 
@@ -351,6 +364,18 @@ def test_ordered_proximity_chain_semantics(spark, tmp_path):
     for g in (1, 2, 4):
         got = {url_by_docid[dd] for _, dd, _ in probe.search_phrase("alpha beta gamma", k=10, max_gap=g)}
         assert got == hits(g)
+    # one batch can mix per-query gaps via the "gap" key
+    mixed = search_index_phrase(
+        reader,
+        [
+            {"qid": 0, "query": "alpha beta gamma", "k": 10, "gap": 1},
+            {"qid": 1, "query": "alpha beta gamma", "k": 10, "gap": 4},
+        ],
+    ).collect()
+    by_qid: dict = {}
+    for r in mixed:
+        by_qid.setdefault(int(r["qid"]), set()).add(url_by_docid[int(r["docid"])])
+    assert by_qid == {0: {"u2"}, 1: {"u1", "u2", "u3", "u5"}}
 
 
 def test_phrase_on_positionless_index_raises(spark, tmp_path):
