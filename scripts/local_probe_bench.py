@@ -95,18 +95,34 @@ def main() -> None:
             lats.append(time.time() - t0)
         lats.sort()
         p50_warm = lats[len(lats) // 2]
+
+        # batched local serving: a COLD probe answers the whole query
+        # set through one union-of-probes dataset read
+        # (LocalIVFProbe.search_batch); warm = same call, cache resident
+        probe_b = similarity.LocalIVFProbe(idx, cache_buckets=2048)
+        t0 = time.time()
+        batch_res = probe_b.search_batch(queries, k=K, n_probe=n_probe)
+        batch_cold = (time.time() - t0) / n_queries
+        assert batch_res[0] == first  # identity with the single path
+        t0 = time.time()
+        probe_b.search_batch(queries, k=K, n_probe=n_probe)
+        batch_warm = (time.time() - t0) / n_queries
+
         rows.append(
             {
                 "n": n, "clusters": clusters, "n_probe": n_probe,
                 "local_cold_s": round(cold, 3),
                 "local_p50_s": round(p50_miss, 4),
                 "local_p50_warm_s": round(p50_warm, 4),
+                "local_batch_cold_per_q_s": round(batch_cold, 4),
+                "local_batch_warm_per_q_s": round(batch_warm, 4),
                 "ref_p50_s": ref_lat,
             }
         )
         print(
             f"n={n:,}: cold {cold*1000:.0f}ms  p50 {p50_miss*1000:.0f}ms  "
-            f"warm p50 {p50_warm*1000:.1f}ms  (ref {ref_lat}s)"
+            f"warm p50 {p50_warm*1000:.1f}ms  batch {batch_cold*1000:.1f}/"
+            f"{batch_warm*1000:.1f}ms/q cold/warm  (ref {ref_lat}s)"
         )
         shutil.rmtree(idx, ignore_errors=True)
         ivf.assigned.unpersist()

@@ -398,8 +398,18 @@ class LocalIVFProbe:
             )
             if len(ids_all):
                 m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+            # split per bucket via ONE stable sort + binary-searched
+            # slices — a per-bucket equality scan is O(rows × buckets)
+            # and dominated wide-miss loads (batched serving probes
+            # most of the index at small cluster counts)
+            order = (
+                np.argsort(bk, kind="stable") if len(ids_all) else np.empty(0, np.int64)
+            )
+            bk_sorted = bk[order] if len(ids_all) else bk
             for b in miss:  # empty buckets (no partition dir) → 0 rows
-                sel = np.flatnonzero(bk == b) if len(ids_all) else np.empty(0, np.int64)
+                lo = np.searchsorted(bk_sorted, b)
+                hi = np.searchsorted(bk_sorted, b, side="right")
+                sel = order[lo:hi]
                 self._cache[b] = (ids_all[sel], m_all[sel])
         out = []
         for b in buckets:
@@ -427,8 +437,14 @@ class LocalIVFProbe:
         probes = [
             [int(b) for b in np.argsort(scores[i])[-n_probe:]] for i in range(qn.shape[0])
         ]
-        # one batched load of every distinct probed bucket (LRU-cached)
-        self._load_buckets(sorted({b for p in probes for b in p}))
+        # preload every distinct probed bucket in bounded chunks: one
+        # giant union read measured SLOWER than incremental loads (a
+        # wide batch can cover most of the index — the ~hundreds-of-MB
+        # decode+normalize working set loses the locality the per-query
+        # path gets for free), so cap each read's working set instead
+        union = sorted({b for p in probes for b in p})
+        for i in range(0, len(union), 32):
+            self._load_buckets(union[i : i + 32])
         return [self.search(qm[i], k=k, n_probe=n_probe) for i in range(qm.shape[0])]
 
     def search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
