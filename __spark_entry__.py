@@ -244,22 +244,30 @@ def q_bm25_phrase_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from decoded positions — the stored text is never re-read (contrast
     q_bm25_phrase_topk's candidates-only text verification). Must
     hash-match the same DuckDB oracle."""
-    from semantic_search_engine_spark.operators.build import build_index
     from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
 
-    key = f"pos:{os.path.abspath(sf_dir)}"
-    if key not in _WAND_CACHE:
-        d = tempfile.mkdtemp(prefix="ssse_pos_")
-        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
-        build_index(docs, d, num_shards=8, store_positions=True)
-        _WAND_CACHE[key] = d
-    d = _WAND_CACHE[key]
+    d = _pos_index(spark, sf_dir)
     res = search_index_phrase(
         IndexReader(spark, d),
         [{"qid": 0, "query": PHRASE_QUERY, "k": BM25_K}],
         keep_boundary_ties=True,
     )
     return _docmap_rerank(spark, d, res)
+
+
+def _pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-and-cache the store_positions=True index over sf_dir's
+    documents — shared by the indexed-phrase and proximity entries
+    (mirrors _scored's cache discipline)."""
+    key = f"pos:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        from semantic_search_engine_spark.operators.build import build_index
+
+        d = tempfile.mkdtemp(prefix="ssse_pos_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        build_index(docs, d, num_shards=8, store_positions=True)
+        _WAND_CACHE[key] = d
+    return _WAND_CACHE[key]
 
 
 def _bm25_phrase_oracle(k: int) -> str:
@@ -306,15 +314,7 @@ def q_bm25_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25-ranked over the distinct terms."""
     from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
 
-    key = f"pos:{os.path.abspath(sf_dir)}"
-    if key not in _WAND_CACHE:
-        from semantic_search_engine_spark.operators.build import build_index
-
-        d = tempfile.mkdtemp(prefix="ssse_pos_")
-        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
-        build_index(docs, d, num_shards=8, store_positions=True)
-        _WAND_CACHE[key] = d
-    d = _WAND_CACHE[key]
+    d = _pos_index(spark, sf_dir)
     res = search_index_phrase(
         IndexReader(spark, d),
         [{"qid": 0, "query": NEAR_QUERY, "k": BM25_K}],

@@ -422,8 +422,9 @@ def _phrase_survivors(cands: np.ndarray, words: list[str], data: dict) -> np.nda
 
 
 def _chain_survivors(
-    cands: np.ndarray, words: list[str], data: dict, max_gap: int
-) -> np.ndarray:
+    cands: np.ndarray, words: list[str], data: dict, max_gap: int,
+    with_slack: bool = False,
+):
     """Ordered within-gap (proximity) match: the subset of candidates
     containing positions p_0 < p_1 < … < p_{L-1}, one per word in
     order, with every consecutive gap in [1, max_gap]. ``max_gap=1``
@@ -434,9 +435,21 @@ def _chain_survivors(
     in [key−max_gap, key). Keys are cand_index·M + position with
     M > max position + max_gap, so windows can never cross documents.
     O(total candidate positions · L) with binary searches — no per-doc
-    Python loop."""
+    Python loop.
+
+    ``with_slack=True`` returns ``(survivor docids, min_slack)`` where
+    min_slack[i] is the minimal total extra gap over all valid chains
+    in that doc: (p_{L-1} − p_0) − (L−1), 0 iff an exact-adjacent
+    match exists. Computed by propagating the MAX chain-start per end
+    key (span = end − start, so the tightest chain ending at a key is
+    the one with the latest start; any chain decomposes through a
+    predecessor, so the per-key max is exact), then a per-doc min over
+    final keys — one searchsorted per gap offset, still no per-doc
+    loop."""
+    empty = np.empty(0, dtype=np.int64)
     if cands.size == 0 or not words:
-        return cands
+        return (cands, empty.copy()) if with_slack else cands
+    L = len(words)
     M = (
         max(int(data[w][3].max()) if data[w][3].size else 0 for w in set(words))
         + max_gap + 2
@@ -453,16 +466,37 @@ def _chain_survivors(
         return ci * M + pos[idx]  # ci asc, positions asc per run → sorted
 
     survivors = keys_for(words[0])
+    starts = survivors % M if with_slack else None  # chain start = own position
     for w in words[1:]:
         if survivors.size == 0:
-            return np.empty(0, dtype=np.int64)
+            return (empty, empty.copy()) if with_slack else empty
         q = keys_for(w)
-        lo = np.searchsorted(survivors, q - max_gap)
-        hi = np.searchsorted(survivors, q)  # predecessors strictly below q
-        survivors = q[hi > lo]
+        if not with_slack:
+            lo = np.searchsorted(survivors, q - max_gap)
+            hi = np.searchsorted(survivors, q)  # predecessors strictly below q
+            survivors = q[hi > lo]
+        else:
+            # exact-key predecessor probe per gap offset g∈[1,max_gap]:
+            # q−g below a doc's key range cannot alias another doc
+            # (positions < M − max_gap − 2, same non-aliasing argument
+            # as the window above)
+            best = np.full(q.size, -1, dtype=np.int64)
+            for g in range(1, max_gap + 1):
+                pos_ = np.searchsorted(survivors, q - g)
+                vi = np.flatnonzero(pos_ < survivors.size)
+                match = vi[survivors[pos_[vi]] == q[vi] - g]
+                best[match] = np.maximum(best[match], starts[pos_[match]])
+            keep = best >= 0
+            survivors, starts = q[keep], best[keep]
     if survivors.size == 0:
-        return np.empty(0, dtype=np.int64)
-    return cands[np.unique(survivors // M)]
+        return (empty, empty.copy()) if with_slack else empty
+    if not with_slack:
+        return cands[np.unique(survivors // M)]
+    ci = survivors // M
+    slack = (survivors % M) - starts - (L - 1)
+    uci, first_idx = np.unique(ci, return_index=True)
+    min_slack = np.minimum.reduceat(slack, first_idx)
+    return cands[uci], min_slack
 
 
 def search_index_phrase(
@@ -470,6 +504,8 @@ def search_index_phrase(
     queries: list[dict],
     keep_boundary_ties: bool = False,
     max_gap: int = 1,
+    distributed_idf: bool | None = None,
+    proximity_boost: float = 0.0,
 ) -> DataFrame:
     """Index-only phrase retrieval: (qid, rank, docid, score) for
     phrase queries, verified from the POSITIONS stream — the stored
@@ -504,10 +540,32 @@ def search_index_phrase(
     θ pruning, driven by the conjunctive cut instead of score
     bounds). The stored text is never read; that's the
     bytes-for-latency trade vs the text-fetch plan, and at 100 TB it
-    removes the corpus random-read per query entirely. Query plans
-    ship in the kernel closure (phrase batches are small; a mega-batch
-    phrase workload would move to the WAND path's broadcast-plan
-    pattern)."""
+    removes the corpus random-read per query entirely.
+
+    Mega-batch ready: the query plan ships as a BROADCAST variable
+    (cached once per executor, previous calls' plan broadcasts
+    unpersisted — the WAND path's discipline), and ``distributed_idf``
+    (default: auto above ``SSSE_IDF_COLLECT_MAX`` distinct terms,
+    100k) replaces the driver-collected idf dict + ``isin`` literal
+    with a broadcast term⋈dictionary join whose idf values ride the
+    block rows into each kernel — zero O(terms) driver state at
+    10⁴-10⁶-phrase width. Results are identical either way
+    (pytest-asserted at a 1000-phrase batch): with distributed idf the
+    conjunctive any-OOV-term-voids-the-query rule moves into the
+    kernel, where a query whose term has no postings in a group never
+    emits there (an index-wide OOV term emits from no group — the
+    same voiding).
+
+    ``proximity_boost`` (default 0.0 = OFF; every oracle entry runs
+    with it off and is unchanged) completes the Lucene analogy by
+    RANKING on closeness, not just verifying it: score = BM25 +
+    proximity_boost · Σ_t idf(t) / (1 + min_slack), where min_slack
+    is the doc's minimal total extra gap over all valid ordered
+    chains, (p_last − p_first) − (L−1) — 0 for an exact adjacent
+    match, so tighter matches of the same terms rank higher and a
+    ``max_gap=1`` query gets the constant full bonus. The match set
+    is unchanged — the bonus only reorders docs that already
+    qualify; semantics pinned by pytest."""
     spark = reader.spark
     if not reader.stats.get("has_positions"):
         raise ValueError(
@@ -522,25 +580,53 @@ def search_index_phrase(
         for q in queries
     ]
     terms = sorted({t for _, _, ws, _ in tokenized for t in ws})
-    idf_map = reader.idf_map(terms)
-    # conjunctive semantics: any unknown term voids its query
-    known_plan = [
-        (qid, k, ws, g) for qid, k, ws, g in tokenized if ws and all(t in idf_map for t in ws)
-    ]
+    if distributed_idf is None:
+        distributed_idf = len(terms) > int(os.environ.get("SSSE_IDF_COLLECT_MAX", "100000"))
+    if distributed_idf:
+        idf_map = None
+        known_plan = [(qid, k, ws, g) for qid, k, ws, g in tokenized if ws]
+    else:
+        idf_map = reader.idf_map(terms)
+        # conjunctive semantics: any unknown term voids its query
+        known_plan = [
+            (qid, k, ws, g)
+            for qid, k, ws, g in tokenized
+            if ws and all(t in idf_map for t in ws)
+        ]
     if not known_plan:
         return _empty_result(spark)
     avgdl = float(reader.stats["avgdl"])
     used = sorted({t for _, _, ws, _ in known_plan for t in ws})
+    # plan + idf map as a broadcast (cached once per executor), not a
+    # UDF closure (re-shipped per task) — the WAND path's pattern incl.
+    # the unpersist-previous-calls discipline above
+    while _LIVE_PLAN_BROADCASTS:
+        try:
+            _LIVE_PLAN_BROADCASTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    bc = spark.sparkContext.broadcast((known_plan, idf_map, avgdl))
+    _LIVE_PLAN_BROADCASTS.append(bc)
 
     per_cpu = int(os.environ.get("SSSE_WAND_GROUPS_PER_CPU", "4"))
     n_groups = per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    blocks = (
-        index_store.read_postings(spark, reader.index_dir, positions=True)
-        .filter(F.col("term").isin(used))
-        .withColumn("_qgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
-    )
+    base = index_store.read_postings(spark, reader.index_dir, positions=True)
+    if distributed_idf:
+        # term filter as a broadcast JOIN instead of a 10⁵+-string isin
+        # literal; idf rides the block rows (rebuilt per group below)
+        terms_df = spark.createDataFrame([(t,) for t in used], "term string")
+        term_idf = reader.dictionary().join(F.broadcast(terms_df), "term").select("term", "idf")
+        blocks = base.join(F.broadcast(term_idf), "term")
+    else:
+        blocks = base.filter(F.col("term").isin(used))
+    blocks = blocks.withColumn("_qgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
 
     def phrase_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        known_plan, idf_map, avgdl = bc.value
+        if idf_map is None:  # distributed idf: rebuild this group's slice
+            idf_map = {
+                t: float(v) for t, v in zip(pdf["term"].to_numpy(), pdf["idf"].to_numpy())
+            }
         empty = pd.DataFrame(
             {c: pd.Series(dtype=t) for c, t in
              [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]}
@@ -595,15 +681,25 @@ def search_index_phrase(
                 cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 continue
-            hits = (
-                _phrase_survivors(cands, words, data)
-                if gap == 1
-                else _chain_survivors(cands, words, data, gap)
-            )
+            if proximity_boost == 0.0:
+                hits = (
+                    _phrase_survivors(cands, words, data)
+                    if gap == 1
+                    else _chain_survivors(cands, words, data, gap)
+                )
+                slack = None
+            elif gap == 1:
+                hits = _phrase_survivors(cands, words, data)
+                slack = np.zeros(hits.size, dtype=np.int64)  # adjacency ⇒ slack 0
+            else:
+                hits, slack = _chain_survivors(cands, words, data, gap, with_slack=True)
             if hits.size == 0:
                 continue
             per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
             scores = _score_candidates(hits, per_term, idf_map, avgdl)
+            if slack is not None:
+                idf_sum = float(sum(idf_map[t] for t in qterms))
+                scores = scores + proximity_boost * (idf_sum / (1.0 + slack))
             if scores.size > k:
                 kth = np.partition(scores, scores.size - k)[scores.size - k]
                 sel = np.flatnonzero(scores >= kth)
@@ -703,14 +799,22 @@ class LocalIndexProbe:
             cols = ["term", "first_docid", "n", "docids_bin", "tfs_bin", "dls_bin"]
             if positions:
                 cols.append("positions_bin")
-            blk = self._post.to_table(
-                columns=cols, filter=ds.field("term").isin(miss)
-            ).to_pandas()
+            blk = (
+                self._post.to_table(columns=cols, filter=ds.field("term").isin(miss))
+                .to_pandas()
+                # ONE stable sort + binary-searched slices per term — a
+                # per-term equality scan is O(rows × terms) and dominates
+                # wide-miss loads (same fix as LocalIVFProbe._load_buckets)
+                .sort_values(["term", "first_docid"], kind="stable", ignore_index=True)
+            )
+            term_sorted = blk["term"].to_numpy()
             for t in miss:
                 if t not in idf_by_term:
                     self._cache[t] = None  # OOV — cached as such
                     continue
-                rows = blk[blk["term"] == t].sort_values("first_docid")
+                lo = np.searchsorted(term_sorted, t)
+                hi = np.searchsorted(term_sorted, t, side="right")
+                rows = blk.iloc[lo:hi]
                 d, tf, dl, _ = decode_blocks_batch(
                     rows["first_docid"].to_numpy(), rows["n"].to_numpy(),
                     rows["docids_bin"], rows["tfs_bin"], rows["dls_bin"],
@@ -750,12 +854,15 @@ class LocalIndexProbe:
         return [(r + 1, int(cands[i]), float(scores[i])) for r, i in enumerate(order)]
 
     def search_phrase(
-        self, phrase: str, k: int = 10, max_gap: int = 1
+        self, phrase: str, k: int = 10, max_gap: int = 1, proximity_boost: float = 0.0
     ) -> list[tuple[int, int, float]]:
         """[(rank, docid, score)] — phrase (adjacency-exact, or ordered
         proximity with ``max_gap`` > 1) top-k from the positions
         stream, identical rows to ``search_index_phrase`` for this
-        (phrase, k, max_gap). Needs a ``store_positions=True`` index."""
+        (phrase, k, max_gap, proximity_boost). Needs a
+        ``store_positions=True`` index. ``proximity_boost`` has the
+        distributed path's semantics (BM25 + boost · Σidf/(1+min_slack),
+        default OFF)."""
         if not self.has_positions:
             raise ValueError(
                 "LocalIndexProbe.search_phrase needs a positions-enabled "
@@ -775,15 +882,25 @@ class LocalIndexProbe:
             cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 return []
-        hits = (
-            _phrase_survivors(cands, words, data)
-            if max_gap == 1
-            else _chain_survivors(cands, words, data, max_gap)
-        )
+        if proximity_boost == 0.0:
+            hits = (
+                _phrase_survivors(cands, words, data)
+                if max_gap == 1
+                else _chain_survivors(cands, words, data, max_gap)
+            )
+            slack = None
+        elif max_gap == 1:
+            hits = _phrase_survivors(cands, words, data)
+            slack = np.zeros(hits.size, dtype=np.int64)
+        else:
+            hits, slack = _chain_survivors(cands, words, data, max_gap, with_slack=True)
         if hits.size == 0:
             return []
         per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
         scores = _score_candidates(hits, per_term, idf_map, self.avgdl)
+        if slack is not None:
+            idf_sum = float(sum(idf_map[t] for t in qterms))
+            scores = scores + proximity_boost * (idf_sum / (1.0 + slack))
         if scores.size > k:
             kth = np.partition(scores, scores.size - k)[scores.size - k]
             sel = np.flatnonzero(scores >= kth)

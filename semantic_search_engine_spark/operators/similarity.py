@@ -443,9 +443,21 @@ class LocalIVFProbe:
         # decode+normalize working set loses the locality the per-query
         # path gets for free), so cap each read's working set instead
         union = sorted({b for p in probes for b in p})
-        for i in range(0, len(union), 32):
-            self._load_buckets(union[i : i + 32])
-        return [self.search(qm[i], k=k, n_probe=n_probe) for i in range(qm.shape[0])]
+        # the preload only pays off if the preloaded buckets SURVIVE
+        # until the per-query scoring pass: a batch probing more
+        # distinct buckets than the LRU cap would evict them before use
+        # (pure wasted I/O, per-query fallback loads). Raise the cap
+        # for the batch's duration, restore + trim after.
+        old_cap = self._cache_cap
+        self._cache_cap = max(old_cap, len(union))
+        try:
+            for i in range(0, len(union), 32):
+                self._load_buckets(union[i : i + 32])
+            return [self.search(qm[i], k=k, n_probe=n_probe) for i in range(qm.shape[0])]
+        finally:
+            self._cache_cap = old_cap
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
 
     def search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
         """[(id, cos)] — identical rows to ``IVFIndex.search(...)``."""

@@ -1,0 +1,242 @@
+"""Round-6 additions: mega-batch phrase serving (broadcast plan +
+distributed idf), proximity-boost ranking semantics, the wide-miss
+sort+searchsorted term load in LocalIndexProbe, and the batch-duration
+cache cap in LocalIVFProbe.search_batch."""
+
+import numpy as np
+import pytest
+
+from semantic_search_engine_spark.fixtures.vectors import (
+    generate_query_vectors,
+    generate_vectors,
+)
+from semantic_search_engine_spark.fixtures.webtext import generate_webtext
+
+
+@pytest.fixture(scope="module")
+def pos_index6(spark, tmp_path_factory):
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.sources import index_store
+
+    d = str(tmp_path_factory.mktemp("posidx6"))
+    docs = generate_webtext(spark, 600).cache()
+    stats = build_index(docs, d, num_shards=5, store_positions=True)
+    docs_df = (
+        index_store.read_docmap(spark, d).select("docid", "url")
+        .join(docs.select("url", "text"), "url")
+        .select("docid", "text")
+        .cache()
+    )
+    docs_df.count()
+    docs.unpersist()
+    yield d, stats, docs_df
+    docs_df.unpersist()
+
+
+# ------------------------------------------------- mega-batch phrase plan
+
+def test_phrase_mega_batch_identity(spark, pos_index6):
+    """A 1000-phrase batch must return IDENTICAL rows under the
+    driver-collected idf plan and the distributed-idf broadcast-join
+    plan (the mega-batch path): same conjunctive OOV voiding, same
+    per-query gap overrides, same (score desc, docid asc) ranking."""
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        search_index_phrase,
+    )
+
+    d, _, docs_df = pos_index6
+    texts = [r["text"] for r in docs_df.orderBy("docid").limit(200).collect()]
+    queries = []
+    qid = 0
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        for j in range(5):  # 5 phrases per doc -> 1000 total
+            s = (i * 7 + j * 13) % max(len(toks) - 3, 1)
+            q = {"qid": qid, "query": " ".join(toks[s : s + 2]), "k": 5}
+            if qid % 11 == 0:
+                q["gap"] = 3  # mix proximity into the batch
+            if qid % 97 == 0:
+                q["query"] = "zzzunseen " + q["query"]  # OOV voids the query
+            queries.append(q)
+            qid += 1
+    assert len(queries) == 1000
+    reader = IndexReader(spark, d)
+    collected = (
+        search_index_phrase(reader, queries, distributed_idf=False)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    distributed = (
+        search_index_phrase(reader, queries, distributed_idf=True)
+        .orderBy("qid", "rank")
+        .toPandas()
+    )
+    assert len(collected) > 1000  # the batch really matched things
+    assert collected.columns.tolist() == distributed.columns.tolist()
+    assert collected.reset_index(drop=True).equals(distributed.reset_index(drop=True))
+    # OOV-voided queries emitted nothing under BOTH plans
+    voided = {q["qid"] for q in queries if q["query"].startswith("zzzunseen ")}
+    assert voided and not (set(collected["qid"]) & voided)
+
+
+# ------------------------------------------------- proximity-boost ranking
+
+@pytest.fixture(scope="module")
+def boost_index(spark, tmp_path_factory):
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.sources import index_store
+
+    rows = [
+        ("d0", "alpha beta pad0 pad1 pad2 pad3"),          # slack 0
+        ("d1", "alpha mid beta pad1 pad2 pad3"),            # slack 1
+        ("d2", "alpha mid mid2 beta pad2 pad3"),            # slack 2
+        ("d3", "pad0 alpha mid mid2 beta pad9 alpha beta"),  # chains slack 2 AND 0 -> min 0
+        ("d4", "pad0 pad1 pad2 pad3 pad4 pad5"),            # no match
+    ]
+    d = str(tmp_path_factory.mktemp("boostidx"))
+    docs = spark.createDataFrame(rows, "url string, text string")
+    build_index(docs, d, num_shards=2, store_positions=True)
+    docmap = {
+        r["url"]: int(r["docid"])
+        for r in index_store.read_docmap(spark, d).collect()
+    }
+    return d, docmap
+
+
+def test_proximity_boost_semantics(spark, boost_index):
+    """proximity_boost adds EXACTLY boost * Sigma idf / (1 + min_slack)
+    on top of the unboosted BM25 score, with min_slack the doc's
+    tightest valid ordered chain — 0 for d0 (adjacent), 1 for d1,
+    2 for d2, 0 for d3 (its second, adjacent occurrence wins). The
+    match set is unchanged."""
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        LocalIndexProbe,
+        search_index_phrase,
+    )
+
+    d, docmap = boost_index
+    reader = IndexReader(spark, d)
+    q = [{"qid": 0, "query": "alpha beta", "k": 10}]
+    plain = {
+        int(r["docid"]): float(r["score"])
+        for r in search_index_phrase(reader, q, max_gap=3).collect()
+    }
+    boosted = {
+        int(r["docid"]): float(r["score"])
+        for r in search_index_phrase(reader, q, max_gap=3, proximity_boost=0.5).collect()
+    }
+    assert set(plain) == set(boosted) == {docmap[u] for u in ("d0", "d1", "d2", "d3")}
+    probe = LocalIndexProbe(d)
+    loaded = probe._load_terms(["alpha", "beta"])
+    idf_sum = sum(v[0] for v in loaded.values())
+    slack = {docmap["d0"]: 0, docmap["d1"]: 1, docmap["d2"]: 2, docmap["d3"]: 0}
+    for docid, s in plain.items():
+        want = s + 0.5 * (idf_sum / (1.0 + slack[docid]))
+        assert boosted[docid] == pytest.approx(want, abs=1e-12), docid
+    # local probe: identical rows to the distributed path with boost on
+    got = probe.search_phrase("alpha beta", k=10, max_gap=3, proximity_boost=0.5)
+    want_rows = sorted(boosted.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(dd, round(s, 9)) for _, dd, s in got] == [
+        (dd, round(s, 9)) for dd, s in want_rows
+    ]
+    # gap==1 with boost: constant full bonus (slack identically 0)
+    plain1 = {
+        int(r["docid"]): float(r["score"])
+        for r in search_index_phrase(reader, q).collect()
+    }
+    boosted1 = {
+        int(r["docid"]): float(r["score"])
+        for r in search_index_phrase(reader, q, proximity_boost=0.5).collect()
+    }
+    assert set(plain1) == set(boosted1) == {docmap["d0"], docmap["d3"]}
+    for docid, s in plain1.items():
+        assert boosted1[docid] == pytest.approx(s + 0.5 * idf_sum, abs=1e-12)
+
+
+def test_chain_survivors_slack_unit():
+    """DP unit pin: max-start propagation per end key, min over final
+    keys per doc. One doc, three words, two valid chains with slacks
+    2 and 0 -> min_slack 0; a doc whose only chain has slack 2 -> 2."""
+    from semantic_search_engine_spark.operators.query import _chain_survivors
+
+    # doc 5: w1@[0,10], w2@[2,11], w3@[4,12] -> chains 0-2-4 (slack 2),
+    # 10-11-12 (slack 0). doc 9: w1@[3], w2@[5], w3@[7] -> slack 2 only.
+    def entry(positions_by_doc):
+        docids = np.array(sorted(positions_by_doc), dtype=np.int64)
+        tfs = np.array([len(positions_by_doc[d]) for d in docids], dtype=np.int64)
+        dls = np.full(docids.size, 20, dtype=np.int64)
+        pos = np.concatenate([np.asarray(positions_by_doc[d], dtype=np.int64) for d in docids])
+        rs = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+        return (docids, tfs, dls, pos, rs)
+
+    data = {
+        "w1": entry({5: [0, 10], 9: [3]}),
+        "w2": entry({5: [2, 11], 9: [5]}),
+        "w3": entry({5: [4, 12], 9: [7]}),
+    }
+    cands = np.array([5, 9], dtype=np.int64)
+    hits, slack = _chain_survivors(cands, ["w1", "w2", "w3"], data, max_gap=3, with_slack=True)
+    assert hits.tolist() == [5, 9]
+    assert slack.tolist() == [0, 2]
+    # plain (no slack) path agrees on the match set
+    assert _chain_survivors(cands, ["w1", "w2", "w3"], data, max_gap=3).tolist() == [5, 9]
+    # gap too tight for doc 9 (gaps of 2 need max_gap >= 2)
+    hits1, slack1 = _chain_survivors(
+        cands, ["w1", "w2", "w3"], data, max_gap=1, with_slack=True
+    )
+    assert hits1.tolist() == [5] and slack1.tolist() == [0]
+
+
+# ------------------------------------------------- wide-miss term load
+
+def test_local_index_probe_wide_miss_identity(spark, pos_index6):
+    """Loading the ENTIRE dictionary in one miss set (the
+    sort+searchsorted path at width) must leave the probe serving
+    byte-identical rows to a fresh per-query probe."""
+    import pyarrow.parquet as pq
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.query import LocalIndexProbe
+
+    d, _, docs_df = pos_index6
+    all_terms = sorted(
+        set(pq.read_table(f"{d}/dictionary", columns=["term"]).column("term").to_pylist())
+    )
+    assert len(all_terms) >= 500  # the load is genuinely wide
+    wide = LocalIndexProbe(d, cache_terms=len(all_terms) + 10)
+    wide._load_terms(all_terms + ["zzz_oov_1", "zzz_oov_2"])
+    fresh = LocalIndexProbe(d)
+    texts = [r["text"] for r in docs_df.orderBy("docid").limit(10).collect()]
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        query = " ".join(toks[(i * 3) % max(len(toks) - 4, 1):][:3])
+        assert wide.search(query, k=10) == fresh.search(query, k=10), query
+    assert wide.search("zzz_oov_1 zzz_oov_2", k=5) == []
+
+
+# ------------------------------------------------- IVF batch cache cap
+
+def test_ivf_search_batch_survives_small_cache(spark, tmp_path):
+    """A batch whose probe union exceeds cache_buckets must still
+    return exactly the per-query rows (the cap is raised for the
+    batch's duration) and the cache must shrink back to the cap
+    afterwards."""
+    from semantic_search_engine_spark.operators import similarity
+
+    emb = generate_vectors(spark, 2000, dim=16).cache()
+    emb.count()
+    ivf = similarity.IVFIndex.build(emb, n_clusters=16, sample_cap=800)
+    d = str(tmp_path / "ivf6")
+    ivf.save(d)
+    emb.unpersist()
+    queries = generate_query_vectors(12, dim=16)
+    small = similarity.LocalIVFProbe(d, cache_buckets=4)
+    got = small.search_batch(queries, k=5, n_probe=8)  # union >> 4 buckets
+    fresh = similarity.LocalIVFProbe(d)
+    want = [fresh.search(q, k=5, n_probe=8) for q in queries]
+    assert got == want
+    assert len(small._cache) <= 4
+    assert small._cache_cap == 4  # restored
