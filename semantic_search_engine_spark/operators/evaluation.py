@@ -60,6 +60,7 @@ def exact_ranks(
     targets_per_q: Mapping[int, Sequence[int]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tie_eps: float = 1e-12,
 ) -> dict[int, dict[int, int]]:
     """{qid: {id: 0-based exact rank}} for every (query, retrieved-id)
     pair, in one scan.
@@ -69,6 +70,14 @@ def exact_ranks(
     with its position-stable tie behavior). The target row itself is
     excluded from its own count, so driver-vs-BLAS last-bit float
     differences on the target's own cosine cannot shift its rank.
+
+    ``tie_eps`` is the absolute cosine tie band (cosines live in
+    [−1, 1], so absolute ≈ relative at full float64 precision; the
+    1e-12 default deliberately treats two values within it as a
+    mathematical tie). For quantized / low-precision embeddings where
+    distinct cosines can legitimately land that close, pass a smaller
+    value — or 0.0 for exact == semantics (then the two kernel shapes
+    must bit-agree).
     """
     qm = np.asarray(queries, dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -103,7 +112,7 @@ def exact_ranks(
     # within EPS of the threshold is treated as a tie (broken vid-asc,
     # the reference's position-stable argsort behavior); genuinely
     # distinct cosines are never this close on real embeddings.
-    _EPS = 1e-12
+    _EPS = float(tie_eps)
 
     def count_beats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per batch: one argsort per DISTINCT query column, then each

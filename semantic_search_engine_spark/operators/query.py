@@ -835,6 +835,30 @@ class LocalIndexProbe:
             self._cache.popitem(last=False)
         return out
 
+    def search_batch(self, queries: list[str], k: int = 10) -> list[list[tuple[int, int, float]]]:
+        """Per-query results for a BATCH of queries, identical rows to
+        ``search`` on each — the union of the batch's distinct terms
+        preloads in bounded chunks (one term-filtered parquet read per
+        chunk, so the isin filter and decode working set stay bounded
+        at mega-batch width) before any scoring: a cold batch pays
+        O(terms/chunk) parquet round-trips instead of one per query.
+        The LRU cap is raised for the batch's duration so preloaded
+        terms survive until scored, then restored and trimmed — the
+        ``LocalIVFProbe.search_batch`` discipline. The middle ground
+        between single probes and the distributed ``search_index_wand``
+        job: right for 10-1000-query batches in a serving process."""
+        union = sorted({t for q in queries for t in tokenize(q)})
+        old_cap = self._cache_cap
+        self._cache_cap = max(old_cap, len(union) + 1)
+        try:
+            for i in range(0, len(union), 512):
+                self._load_terms(union[i : i + 512])
+            return [self.search(q, k=k) for q in queries]
+        finally:
+            self._cache_cap = old_cap
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
+
     def search(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
         """[(rank, docid, score)] — identical rows to the distributed
         exact paths for this (query, k)."""

@@ -217,6 +217,32 @@ def test_local_index_probe_wide_miss_identity(spark, pos_index6):
     assert wide.search("zzz_oov_1 zzz_oov_2", k=5) == []
 
 
+# ------------------------------------------------- local text batch probe
+
+def test_local_index_probe_batch_equals_single(spark, pos_index6):
+    """LocalIndexProbe.search_batch (chunked union preload, raised cap
+    for the batch) must return exactly the per-query search rows even
+    when the batch's term union exceeds cache_terms, and the cache must
+    shrink back to the cap afterwards."""
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.query import LocalIndexProbe
+
+    d, _, docs_df = pos_index6
+    texts = [r["text"] for r in docs_df.orderBy("docid").limit(30).collect()]
+    queries = []
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        s = (i * 5) % max(len(toks) - 4, 1)
+        queries.append(" ".join(toks[s : s + 3]))
+    queries.append("zzz_oov only_oov_terms")
+    small = LocalIndexProbe(d, cache_terms=8)  # union >> 8 terms
+    got = small.search_batch(queries, k=10)
+    fresh = LocalIndexProbe(d)
+    want = [fresh.search(q, k=10) for q in queries]
+    assert got == want
+    assert len(small._cache) <= 8 and small._cache_cap == 8  # restored
+
+
 # ------------------------------------------------- IVF batch cache cap
 
 def test_ivf_search_batch_survives_small_cache(spark, tmp_path):
