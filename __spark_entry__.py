@@ -324,6 +324,80 @@ def q_bm25_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docmap_rerank(spark, d, res)
 
 
+NEAR_BOOST = 0.5
+
+
+def q_bm25_near_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The proximity query RANKED by closeness: same match set as
+    q_bm25_near_topk, scored BM25 + NEAR_BOOST · Σidf / (1 + min_slack)
+    where min_slack is the doc's tightest valid ordered chain,
+    (p_last − p_first) − (L−1) — the proximity_boost option end-to-end
+    against a DuckDB oracle that recomputes the min-window chain join
+    and the boost algebra independently."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
+
+    d = _pos_index(spark, sf_dir)
+    res = search_index_phrase(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": NEAR_QUERY, "k": BM25_K}],
+        keep_boundary_ties=True,
+        max_gap=NEAR_GAP,
+        proximity_boost=NEAR_BOOST,
+    )
+    return _docmap_rerank(spark, d, res)
+
+
+def _near_chain_joins(words: list[str]) -> tuple[str, str]:
+    """(join clause chain over tp aliases, last alias) for the ordered
+    within-NEAR_GAP chain a -> t1 -> ... -> t{L-1}."""
+    joins, prev = [], "a"
+    for i, w in enumerate(words[1:], 1):
+        cur = f"t{i}"
+        joins.append(
+            f"JOIN tp {cur} ON {cur}.doc_id = {prev}.doc_id AND {cur}.term = '{w}' "
+            f"AND {cur}.pos - {prev}.pos BETWEEN 1 AND {NEAR_GAP}"
+        )
+        prev = cur
+    return " ".join(joins), prev
+
+
+def _bm25_near_boosted_oracle(k: int) -> str:
+    words = NEAR_QUERY.split()
+    terms = ", ".join(f"'{t}'" for t in sorted(set(words)))
+    tok = TOK_SQL.format(col="text")
+    joins, last = _near_chain_joins(words)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+qidf AS (
+  SELECT sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+  FROM df JOIN q USING (term) CROSS JOIN st
+),
+tp AS (SELECT doc_id, unnest({tok}) AS term, generate_subscripts({tok}, 1) AS pos FROM documents),
+sl AS (
+  SELECT a.doc_id, min({last}.pos - a.pos - {len(words) - 1})::BIGINT AS min_slack
+  FROM tp a {joins} WHERE a.term = '{words[0]}'
+  GROUP BY 1
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) )
+         + {NEAR_BOOST} * (any_value(qidf.idf_sum) / (1 + any_value(sl.min_slack))) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+       JOIN sl ON tf.doc_id = sl.doc_id CROSS JOIN st CROSS JOIN qidf
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = (SELECT count(DISTINCT term) FROM q)
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
 def _bm25_near_oracle(k: int) -> str:
     words = NEAR_QUERY.split()
     terms = ", ".join(f"'{t}'" for t in sorted(set(words)))
@@ -696,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
         "bm25_near_topk": q_bm25_near_topk,
+        "bm25_near_boosted_topk": q_bm25_near_boosted_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
@@ -809,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_near_topk": _bm25_near_oracle(BM25_K),
+        "bm25_near_boosted_topk": _bm25_near_boosted_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)
