@@ -168,6 +168,14 @@ def main() -> None:
             # fresh probe (per-query parquet reads); warm = cache
             # resident — the reference's in-RAM loop shape.
             if want("wand_local"):
+                if rep == 0:
+                    # cold BATCHED probe (one chunked union preload)
+                    # next to the cold sequential loop below — the
+                    # search_batch API's round-trip saving, measured
+                    bprobe = LocalIndexProbe(idx_dir)
+                    t0 = time.perf_counter()
+                    bprobe.search_batch([q["query"] for q in queries], k=10)
+                    cold["cold_local_batch_allq_sec"] = round(time.perf_counter() - t0, 3)
                 probe = LocalIndexProbe(idx_dir)
                 t0 = time.perf_counter()
                 for q in queries:

@@ -46,6 +46,28 @@ def test_exhaustive_topk_is_take_ordered(spark):
     assert audit.codegen_stage_count(res) >= 2
 
 
+def test_phrase_mega_batch_plan_is_broadcast(spark, tmp_path_factory):
+    """The distributed-idf phrase plan must carry the batch's term set
+    as BROADCAST joins (terms⋈dictionary for idf, then term_idf⋈postings
+    as the scan filter) — no shuffle join of the tiny term side, no
+    cartesian product anywhere."""
+    from semantic_search_engine_spark.operators.query import search_index_phrase
+
+    d = str(tmp_path_factory.mktemp("megaidx"))
+    docs = generate_webtext(spark, 200)
+    build_index(docs, d, num_shards=3, store_positions=True)
+    reader = IndexReader(spark, d)
+    queries = [
+        {"qid": 0, "query": "bababa cecece", "k": 5},
+        {"qid": 1, "query": "dadada bababa", "k": 5, "gap": 3},
+    ]
+    df = search_index_phrase(reader, queries, distributed_idf=True)
+    plan = audit.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    df.collect()  # the plan executes
+
+
 def test_filter_funnel_is_single_pass(spark):
     """The cleaning funnel claims one scan→project→agg — no joins, no
     second read of the corpus (the per-doc columns are computed inline,
