@@ -479,6 +479,15 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals over bigrams: total
+    bigram occurrences, top-bigram fraction, duplicate-bigram fraction
+    (operators/textstats.py:repetition_stats — sort + run-length
+    higher-order exprs, one scan, ZERO shuffles). The oracle recomputes
+    both fractions through a per-(doc, ngram) GROUP BY instead."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 FUNNEL_QUALITY_T = 0.6  # ~median of the testdata quality distribution
 
 
@@ -779,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "text_bigrams": q_text_bigrams,
+        "repetition_stats": q_repetition_stats,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -923,6 +933,24 @@ idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok WHERE len(ts)
 bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
 SELECT bigram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
 FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "repetition_stats": f"""
+WITH tokd AS (SELECT doc_id, {tok} AS ts FROM documents),
+g AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS ngram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tokd WHERE len(ts) >= 2)
+),
+pc AS (SELECT doc_id, ngram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS m, max(c)::BIGINT AS top,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup
+  FROM pc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.m, 0)::BIGINT AS n_ngrams,
+       coalesce(round(a.top::DOUBLE / a.m, 6), 0.0)::DOUBLE AS top_ngram_frac,
+       coalesce(round(a.dup::DOUBLE / a.m, 6), 0.0)::DOUBLE AS dup_ngram_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         "corpus_filter_funnel": f"""
 WITH crawl AS (

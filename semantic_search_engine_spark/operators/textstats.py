@@ -91,6 +91,21 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return docs.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fp"))
 
 
+def _ngram_array(ts, n: int) -> "F.Column":
+    """array<string> of the adjacent-token n-grams of token array
+    ``ts`` (space-joined), empty when the doc has fewer than n
+    tokens — sequence + transform, fully inside codegen."""
+    return F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ts, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_counts(
     docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -103,15 +118,7 @@ def ngram_counts(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     ts = tokens_col(F.col(text_col))
-    grams = F.when(
-        F.size(ts) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ts, i + F.lit(j)) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _ngram_array(ts, n)
     ex = docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
     return ex.groupBy("ngram").agg(
         F.count("*").alias("cnt"), F.countDistinct("_id").alias("df")
@@ -122,6 +129,78 @@ def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """(bigram, cnt, df) — :func:`ngram_counts` at n=2."""
     return ngram_counts(docs, n=2, id_col=id_col, text_col=text_col).withColumnRenamed(
         "ngram", "bigram"
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_ngrams, top_ngram_frac, dup_ngram_frac) — Gopher-style
+    per-document repetition signals over adjacent-token n-grams:
+    ``top_ngram_frac`` = occurrences of the doc's most frequent n-gram
+    / total n-gram occurrences; ``dup_ngram_frac`` = fraction of
+    occurrences whose n-gram appears more than once in the doc. High
+    values flag boilerplate/template/spam pages for the cleaning
+    funnel (the published C4/Gopher repetition filters).
+
+    100-TB shape: per-doc signals must not shuffle — this is ONE
+    scan→project with ZERO shuffles. The n-gram array is sorted
+    in-doc (``array_sort``), equal-neighbor flags come from one
+    ``zip_with`` over the shifted self, the longest run is a linear
+    ``aggregate`` scan and duplicate occurrences are positions with
+    an equal neighbor — all codegen expressions, no explode, no
+    groupBy, no Python. The DuckDB oracle recomputes both fractions
+    through a completely different path (unnest → per-(doc, ngram)
+    GROUP BY → max/sum), so agreement checks the math, not the code.
+    Both fractions round to 6 dp; docs with fewer than n tokens
+    report (0, 0.0, 0.0)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ts = tokens_col(F.col(text_col))
+    s = F.array_sort(_ngram_array(ts, n))
+    m = F.size(s)
+    # eq[i] (1-based): sorted[i] == sorted[i+1], length m-1
+    eq = F.when(
+        m >= 2,
+        F.zip_with(F.slice(s, 1, m - 1), F.slice(s, 2, m - 1), lambda a, b: a == b),
+    ).otherwise(F.array().cast("array<boolean>"))
+    # longest equal run: linear scan with (current, best) accumulator
+    top_run = F.aggregate(
+        eq,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda acc, e: F.struct(
+            F.when(e, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"], F.when(e, acc["cur"] + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # occurrence i is a duplicate iff it equals a sorted neighbor
+    # (F.get is 0-based and null-safe at the array edges)
+    dup_occ = F.when(
+        m >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                F.coalesce(F.get(eq, i - 2), F.lit(False))
+                | F.coalesce(F.get(eq, i - 1), F.lit(False)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.lit(0))
+    md = m.cast("double")
+    return docs.select(
+        F.col(id_col),
+        m.cast("long").alias("n_ngrams"),
+        F.when(m > 0, F.round(top_run.cast("double") / md, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_frac"),
+        F.when(m > 0, F.round(dup_occ.cast("double") / md, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
     )
 
 

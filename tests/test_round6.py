@@ -243,6 +243,50 @@ def test_local_index_probe_batch_equals_single(spark, pos_index6):
     assert len(small._cache) <= 8 and small._cache_cap == 8  # restored
 
 
+# ------------------------------------------------- repetition signals
+
+def test_repetition_stats_semantics(spark):
+    """repetition_stats must equal a brute-force Counter reference on
+    handcrafted docs (heavy repetition, all-distinct, single-token,
+    empty), and its plan must have ZERO shuffles (per-doc signals are
+    embarrassingly parallel)."""
+    from collections import Counter
+
+    from semantic_search_engine_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam spam"),          # one bigram repeated 4x
+        (1, "a b c d e f"),                        # all distinct
+        (2, "x y x y x y z"),                      # mixed: 'x y' 3x, 'y x' 2x
+        (3, "solo"),                               # < 2 tokens -> 0 ngrams
+        (4, ""),                                   # empty
+        (5, "p q p q"),                            # 'p q' 2x, 'q p' 1x
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        int(r["doc_id"]): (int(r["n_ngrams"]), float(r["top_ngram_frac"]), float(r["dup_ngram_frac"]))
+        for r in repetition_stats(docs).collect()
+    }
+    for did, text in rows:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            assert got[did] == (0, 0.0, 0.0), did
+            continue
+        c = Counter(grams)
+        m = len(grams)
+        want = (
+            m,
+            round(max(c.values()) / m, 6),
+            round(sum(v for v in c.values() if v > 1) / m, 6),
+        )
+        assert got[did] == want, (did, got[did], want)
+    from semantic_search_engine_spark.plans import audit
+
+    plan = audit.physical_plan(repetition_stats(docs))
+    assert "Exchange" not in plan  # zero shuffles: scan -> project only
+
+
 # ------------------------------------------------- IVF batch cache cap
 
 def test_ivf_search_batch_survives_small_cache(spark, tmp_path):
