@@ -488,6 +488,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency proxy: per-doc mean ln p(token) under the
+    corpus's own unigram distribution (operators/textstats.py:
+    unigram_logprob — broadcast vocab join, shuffles only for the two
+    aggregations)."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 FUNNEL_QUALITY_T = 0.6  # ~median of the testdata quality distribution
 
 
@@ -789,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "text_bigrams": q_text_bigrams,
         "repetition_stats": q_repetition_stats,
+        "unigram_logprob": q_unigram_logprob,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -951,6 +960,21 @@ SELECT d.doc_id,
        coalesce(round(a.top::DOUBLE / a.m, 6), 0.0)::DOUBLE AS top_ngram_frac,
        coalesce(round(a.dup::DOUBLE / a.m, 6), 0.0)::DOUBLE AS dup_ngram_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "unigram_logprob": f"""
+WITH tokx AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT term, count(*)::DOUBLE AS cnt FROM tokx GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS total FROM tokx),
+pd AS (
+  SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(ln(tf.cnt / tot.total)), 6) AS mean_logprob
+  FROM tokx x JOIN tf USING (term) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(pd.mean_logprob, 0.0)::DOUBLE AS mean_logprob
+FROM documents d LEFT JOIN pd USING (doc_id)
 """,
         "corpus_filter_funnel": f"""
 WITH crawl AS (

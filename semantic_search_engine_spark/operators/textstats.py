@@ -204,6 +204,49 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, mean_logprob) — CCNet-style fluency proxy: the
+    mean ln p(token) of each document under the corpus's OWN unigram
+    distribution (p(t) = corpus count of t / total tokens). Low values
+    flag gibberish / rare-token spam; the language-model-perplexity
+    filter of the published web-corpus pipelines, reduced to the
+    unigram LM that needs no external model.
+
+    100-TB shape: the vocabulary table is sublinear in the corpus
+    (Heaps' law), so the per-token log-prob lookup is a BROADCAST join
+    of (term, logp) against the exploded tokens — the corpus-scale
+    side never shuffles for the join; the only shuffles are the two
+    aggregations (term counts, per-doc mean). The one-row total rides
+    in via a broadcast cross join, never a driver collect. Docs with
+    zero tokens keep a row (0, 0.0) via the id spine."""
+    ts = tokens_col(F.col(text_col))
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode(ts).alias("term"))
+    tf = ex.groupBy("term").agg(F.count("*").cast("double").alias("cnt"))
+    total = ex.agg(F.count("*").cast("double").alias("total"))
+    logp = tf.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    per_doc = (
+        ex.join(F.broadcast(logp), "term")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("mean_logprob"), F.lit(0.0)).alias("mean_logprob"),
+        )
+    )
+
+
 def filter_funnel(
     docs: DataFrame,
     quality_threshold: float = 0.5,

@@ -287,6 +287,39 @@ def test_repetition_stats_semantics(spark):
     assert "Exchange" not in plan  # zero shuffles: scan -> project only
 
 
+def test_unigram_logprob_semantics(spark):
+    """unigram_logprob must equal the brute-force corpus-unigram LM on
+    handcrafted docs: rare tokens drag the mean down, the empty doc
+    keeps a (0, 0.0) row."""
+    import math
+    from collections import Counter
+
+    from semantic_search_engine_spark.operators.textstats import unigram_logprob
+
+    rows = [
+        (0, "the the the the"),
+        (1, "the the rareword"),
+        (2, "onlyonce"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {d: t.split() for d, t in rows}
+    corpus = [w for ws in toks.values() for w in ws]
+    c, total = Counter(corpus), len(corpus)
+    got = {
+        int(r["doc_id"]): (int(r["n_tokens"]), float(r["mean_logprob"]))
+        for r in unigram_logprob(docs).collect()
+    }
+    for d, ws in toks.items():
+        if not ws:
+            assert got[d] == (0, 0.0), d
+            continue
+        want = round(sum(math.log(c[w] / total) for w in ws) / len(ws), 6)
+        assert got[d][0] == len(ws) and got[d][1] == pytest.approx(want, abs=1e-9), d
+    # common-token doc scores higher (closer to 0) than the rare-token doc
+    assert got[0][1] > got[1][1] > got[2][1]
+
+
 # ------------------------------------------------- IVF batch cache cap
 
 def test_ivf_search_batch_survives_small_cache(spark, tmp_path):
