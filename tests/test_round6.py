@@ -190,6 +190,53 @@ def test_chain_survivors_slack_unit():
     assert hits1.tolist() == [5] and slack1.tolist() == [0]
 
 
+def test_chain_survivors_slack_fuzz():
+    """Randomized pin of the slack DP against brute force: for random
+    per-doc position sets and gaps, min_slack must equal the explicit
+    minimum over ALL valid ordered chains, and the survivor set must
+    equal the plain (no-slack) chain filter."""
+    from itertools import product
+
+    from semantic_search_engine_spark.operators.query import _chain_survivors
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(60):
+        L = int(rng.integers(2, 5))
+        max_gap = int(rng.integers(1, 5))
+        words = [f"w{j}" for j in range(L)]
+        n_docs = int(rng.integers(1, 6))
+        docids = np.sort(rng.choice(1000, size=n_docs, replace=False)).astype(np.int64)
+        pos_by = {w: {} for w in words}
+        for d in docids:
+            for w in words:
+                cnt = int(rng.integers(1, 5))
+                pos_by[w][int(d)] = np.sort(
+                    rng.choice(40, size=cnt, replace=False)
+                ).astype(np.int64)
+        data = {}
+        for w in words:
+            tfs = np.array([len(pos_by[w][int(d)]) for d in docids], dtype=np.int64)
+            pos = np.concatenate([pos_by[w][int(d)] for d in docids])
+            rs = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+            data[w] = (docids, tfs, np.full(n_docs, 50, dtype=np.int64), pos, rs)
+
+        def brute(d):
+            best = None
+            for chain in product(*[pos_by[w][int(d)] for w in words]):
+                if all(1 <= chain[j + 1] - chain[j] <= max_gap for j in range(L - 1)):
+                    sl = int(chain[-1] - chain[0] - (L - 1))
+                    best = sl if best is None else min(best, sl)
+            return best
+
+        want = {int(d): brute(d) for d in docids}
+        want_hits = sorted(d for d, s in want.items() if s is not None)
+        hits, slack = _chain_survivors(docids, words, data, max_gap, with_slack=True)
+        assert hits.tolist() == want_hits, trial
+        assert [want[int(d)] for d in hits] == slack.tolist(), trial
+        plain = _chain_survivors(docids, words, data, max_gap)
+        assert plain.tolist() == want_hits, trial
+
+
 # ------------------------------------------------- wide-miss term load
 
 def test_local_index_probe_wide_miss_identity(spark, pos_index6):
