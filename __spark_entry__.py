@@ -512,6 +512,22 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_REP_T = 0.05  # ~p75-p90 of the testdata top-bigram-frac distribution
+
+
+def q_corpus_filter_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the Gopher repetition stage spliced in: total →
+    lang → quality → top-bigram-frac ≤ 0.05 → exact-unique — STILL one
+    scan→project→agg (top_ngram_frac_col is a pure per-doc expr), the
+    full C4+Gopher cleaning pass in a single corpus read."""
+    return textstats.filter_funnel(
+        _docs_with_recrawl(spark, sf_dir),
+        quality_threshold=FUNNEL_QUALITY_T,
+        lang="en",
+        max_top_ngram_frac=FUNNEL_REP_T,
+    )
+
+
 # ----------------------------------------------------------------- dedup
 RECRAWL_STEP = 50
 RECRAWL_ID_OFFSET = 10_000_000
@@ -799,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
         "corpus_filter_funnel": q_corpus_filter_funnel,
+        "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -1002,6 +1019,48 @@ SELECT count(*)::BIGINT AS n_total,
        count(CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T} THEN 1 END)::BIGINT AS n_quality,
        count(DISTINCT CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T} THEN fp END)::BIGINT AS n_unique
 FROM per
+""",
+        "corpus_filter_funnel_v2": f"""
+WITH crawl AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECRAWL_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {RECRAWL_STEP} = 0
+),
+per AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         round(0.4 * least(len({tok}) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len({tok}) > 0
+                        THEN len(list_distinct({tok}))::DOUBLE / len({tok}) ELSE 0.0 END)
+               + 0.3 * (CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+                        ELSE 0.0 END), 6) AS quality,
+         CASE WHEN {lang_hits['de']} >= greatest({lang_hits['en']}, {lang_hits['es']}, 1) THEN 'de'
+              WHEN {lang_hits['en']} >= greatest({lang_hits['es']}, 1) THEN 'en'
+              WHEN {lang_hits['es']} >= 1 THEN 'es'
+              ELSE 'und' END AS lang_pred
+  FROM crawl
+),
+tokd AS (SELECT doc_id, {tok} AS ts FROM crawl),
+g AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS ngram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tokd WHERE len(ts) >= 2)
+),
+pc AS (SELECT doc_id, ngram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS topf FROM pc GROUP BY 1),
+j AS (
+  SELECT per.*, coalesce(rep.topf, 0.0) AS topf
+  FROM per LEFT JOIN rep USING (doc_id)
+)
+SELECT count(*)::BIGINT AS n_total,
+       count(CASE WHEN lang_pred = 'en' THEN 1 END)::BIGINT AS n_lang,
+       count(CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T} THEN 1 END)::BIGINT AS n_quality,
+       count(CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T}
+                   AND topf <= {FUNNEL_REP_T} THEN 1 END)::BIGINT AS n_repetition,
+       count(DISTINCT CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T}
+                            AND topf <= {FUNNEL_REP_T} THEN fp END)::BIGINT AS n_unique
+FROM j
 """,
         "dedup_exact": f"""
 WITH crawl AS (

@@ -132,31 +132,15 @@ def bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def repetition_stats(
-    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, n_ngrams, top_ngram_frac, dup_ngram_frac) — Gopher-style
-    per-document repetition signals over adjacent-token n-grams:
-    ``top_ngram_frac`` = occurrences of the doc's most frequent n-gram
-    / total n-gram occurrences; ``dup_ngram_frac`` = fraction of
-    occurrences whose n-gram appears more than once in the doc. High
-    values flag boilerplate/template/spam pages for the cleaning
-    funnel (the published C4/Gopher repetition filters).
-
-    100-TB shape: per-doc signals must not shuffle — this is ONE
-    scan→project with ZERO shuffles. The n-gram array is sorted
-    in-doc (``array_sort``), equal-neighbor flags come from one
-    ``zip_with`` over the shifted self, the longest run is a linear
-    ``aggregate`` scan and duplicate occurrences are positions with
-    an equal neighbor — all codegen expressions, no explode, no
-    groupBy, no Python. The DuckDB oracle recomputes both fractions
-    through a completely different path (unnest → per-(doc, ngram)
-    GROUP BY → max/sum), so agreement checks the math, not the code.
-    Both fractions round to 6 dp; docs with fewer than n tokens
-    report (0, 0.0, 0.0)."""
+def _run_stats(ts, n: int) -> tuple["F.Column", "F.Column", "F.Column"]:
+    """(m, top_run, dup_occ) column exprs over the doc's sorted n-gram
+    array: total n-gram occurrences, the longest equal run (= the top
+    n-gram's count), and the number of occurrences with an equal
+    sorted neighbor (= occurrences of n-grams appearing >1 time).
+    Pure codegen: array_sort + zip_with equal-neighbor flags + linear
+    aggregate scans — no explode, no shuffle."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    ts = tokens_col(F.col(text_col))
     s = F.array_sort(_ngram_array(ts, n))
     m = F.size(s)
     # eq[i] (1-based): sorted[i] == sorted[i+1], length m-1
@@ -191,6 +175,43 @@ def repetition_stats(
             ).otherwise(F.lit(0)),
         ),
     ).otherwise(F.lit(0))
+    return m, top_run, dup_occ
+
+
+def top_ngram_frac_col(text_col, n: int = 2) -> "F.Column":
+    """Rounded-6 top-n-gram fraction of one document (0.0 when the doc
+    has fewer than n tokens) — the repetition signal as a single
+    column expression, reusable inside single-pass pipelines like
+    :func:`filter_funnel`."""
+    m, top_run, _ = _run_stats(tokens_col(text_col), n)
+    return F.when(
+        m > 0, F.round(top_run.cast("double") / m.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_ngrams, top_ngram_frac, dup_ngram_frac) — Gopher-style
+    per-document repetition signals over adjacent-token n-grams:
+    ``top_ngram_frac`` = occurrences of the doc's most frequent n-gram
+    / total n-gram occurrences; ``dup_ngram_frac`` = fraction of
+    occurrences whose n-gram appears more than once in the doc. High
+    values flag boilerplate/template/spam pages for the cleaning
+    funnel (the published C4/Gopher repetition filters).
+
+    100-TB shape: per-doc signals must not shuffle — this is ONE
+    scan→project with ZERO shuffles. The n-gram array is sorted
+    in-doc (``array_sort``), equal-neighbor flags come from one
+    ``zip_with`` over the shifted self, the longest run is a linear
+    ``aggregate`` scan and duplicate occurrences are positions with
+    an equal neighbor — all codegen expressions, no explode, no
+    groupBy, no Python. The DuckDB oracle recomputes both fractions
+    through a completely different path (unnest → per-(doc, ngram)
+    GROUP BY → max/sum), so agreement checks the math, not the code.
+    Both fractions round to 6 dp; docs with fewer than n tokens
+    report (0, 0.0, 0.0)."""
+    m, top_run, dup_occ = _run_stats(tokens_col(F.col(text_col)), n)
     md = m.cast("double")
     return docs.select(
         F.col(id_col),
@@ -253,22 +274,41 @@ def filter_funnel(
     lang: str = "en",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_top_ngram_frac: float | None = None,
+    ngram_n: int = 2,
 ) -> DataFrame:
     """One-row C4-style cleaning funnel: total docs → predicted-``lang``
     docs → + quality ≥ threshold → + exact-content-unique (distinct
     fingerprints among survivors). Single scan, one projection, one
     map-side-partial aggregate — the per-doc columns are computed
     inline (quality_col / lang_pred_col / fingerprint_col), never
-    joined, so the plan stays a scan→project→agg at any corpus size."""
-    per = docs.select(
+    joined, so the plan stays a scan→project→agg at any corpus size.
+
+    ``max_top_ngram_frac`` adds the Gopher repetition stage between
+    quality and unique: survivors must have top-``ngram_n``-gram
+    fraction ≤ the threshold (:func:`top_ngram_frac_col` — still a
+    pure per-doc column expr, so the plan stays single-pass). The
+    output gains an ``n_repetition`` column and ``n_unique`` counts
+    distinct fingerprints among repetition survivors. ``None``
+    (default) keeps the v1 4-column schema exactly."""
+    cols = [
         quality_col(F.col(text_col)).alias("_q"),
         lang_pred_col(F.col(text_col)).alias("_l"),
         fingerprint_col(F.col(text_col)).alias("_fp"),
-    )
+    ]
+    if max_top_ngram_frac is not None:
+        cols.append(top_ngram_frac_col(F.col(text_col), ngram_n).alias("_rep"))
+    per = docs.select(*cols)
     keep = (F.col("_l") == lang) & (F.col("_q") >= quality_threshold)
-    return per.agg(
+    aggs = [
         F.count("*").cast("long").alias("n_total"),
         F.count(F.when(F.col("_l") == lang, 1)).cast("long").alias("n_lang"),
         F.count(F.when(keep, 1)).cast("long").alias("n_quality"),
-        F.countDistinct(F.when(keep, F.col("_fp"))).cast("long").alias("n_unique"),
+    ]
+    if max_top_ngram_frac is not None:
+        keep = keep & (F.col("_rep") <= max_top_ngram_frac)
+        aggs.append(F.count(F.when(keep, 1)).cast("long").alias("n_repetition"))
+    aggs.append(
+        F.countDistinct(F.when(keep, F.col("_fp"))).cast("long").alias("n_unique")
     )
+    return per.agg(*aggs)

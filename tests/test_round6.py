@@ -334,6 +334,34 @@ def test_repetition_stats_semantics(spark):
     assert "Exchange" not in plan  # zero shuffles: scan -> project only
 
 
+def test_filter_funnel_repetition_stage(spark):
+    """filter_funnel(max_top_ngram_frac=...) drops the boilerplate doc
+    between quality and unique, keeps the v1 4-column schema when the
+    param is None, and the 5-stage plan is still a single pass (no
+    joins, one source)."""
+    from semantic_search_engine_spark.operators.textstats import filter_funnel
+    from semantic_search_engine_spark.plans import audit
+
+    # both docs pass lang=en + quality; the spam doc is pure repetition
+    good = "the quick brown fox jumps over the lazy dog and runs far away today " * 3
+    spam = "the best offer the best offer the best offer the best offer the best offer"
+    docs = spark.createDataFrame(
+        [(0, good), (1, spam), (2, good)], "doc_id long, text string"
+    )
+    v1 = filter_funnel(docs, quality_threshold=0.0, lang="en").collect()[0]
+    assert set(v1.asDict()) == {"n_total", "n_lang", "n_quality", "n_unique"}
+    v2 = filter_funnel(
+        docs, quality_threshold=0.0, lang="en", max_top_ngram_frac=0.2
+    ).collect()[0]
+    assert (v2["n_total"], v2["n_lang"], v2["n_quality"]) == (3, 3, 3)
+    assert v2["n_repetition"] == 2  # spam doc's top bigram frac >> 0.2
+    assert v2["n_unique"] == 1  # the two good docs are exact duplicates
+    plan = audit.physical_plan(
+        filter_funnel(docs, quality_threshold=0.0, lang="en", max_top_ngram_frac=0.2)
+    )
+    assert "Join" not in plan
+
+
 def test_unigram_logprob_semantics(spark):
     """unigram_logprob must equal the brute-force corpus-unigram LM on
     handcrafted docs: rare tokens drag the mean down, the empty doc
