@@ -672,6 +672,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(emb, threshold=0.45, num_tables=40, hash_bits=2)
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over
+    the recall-proof near-dup pair graph (similarity is not transitive,
+    so canonical-doc selection needs the closure). Iterative min-label
+    propagation (operators/dedup.py:connected_components); the oracle
+    recomputes the transitive closure with a recursive CTE — a
+    completely different fixpoint evaluation."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.45, num_tables=40, hash_bits=2)
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("node").alias("vec_id"), "component")
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     u = emb.select("label", F.posexplode("embedding").alias("i", "v"))
@@ -829,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "multimodal_bmp_topk": q_multimodal_bmp_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "embedding_label_centroids": q_embedding_label_centroids,
         "tpch_q1": q_tpch_q1,
         "top_customers_revenue": q_top_customers_revenue,
@@ -1132,6 +1146,19 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+        "embedding_dup_clusters": """
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS u, b.vec_id AS w
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+sym AS (SELECT u, w FROM p UNION SELECT w AS u, u AS w FROM p),
+reach(node, label) AS (
+  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u AS node, r.label FROM sym s JOIN reach r ON s.w = r.node
+)
+SELECT node AS vec_id, min(label)::BIGINT AS component FROM reach GROUP BY 1
 """,
         "embedding_label_centroids": """
 WITH u AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,

@@ -250,3 +250,67 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) — connected components of the undirected pair
+    graph, component = the minimum node id reachable. Duplicate PAIRS
+    are not duplicate CLUSTERS: near-dup similarity is not transitive
+    (a~b, b~c without a~c), so picking one canonical doc per group
+    needs the transitive closure — this is the step between
+    ``embedding_neardup_pairs``/MinHash banding and an actual
+    keep/drop decision.
+
+    Iterative min-label propagation on DataFrames: each round every
+    node's label becomes min(own, neighbors' labels) — one shuffle
+    join + one groupBy-min per round, converging in O(component
+    diameter) rounds (dedup clusters are short chains in practice;
+    for adversarially long chains the alternating small-star/
+    large-star variant [Kiveris et al., "Connected Components in
+    MapReduce and Beyond"] drops rounds to O(log d) — this simple
+    variant is the right trade until profiles say otherwise).
+    Per-round lineage is cut with ``localCheckpoint`` so the plan
+    stays O(1) deep instead of growing by two joins every round
+    (the classic iterative-DataFrame stack-overflow trap), and the
+    convergence probe reuses that materialization — one count job,
+    never a collect of data. Raises if ``max_iter`` rounds don't
+    converge (silent partial labels would corrupt downstream dedup).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u").agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                labels["node"],
+                labels["label"].alias("_old"),
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_min"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("label") < F.col("_old")).count()
+        labels = new.select("node", "label")
+        if changed == 0:
+            return labels.withColumnRenamed("label", "component")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (component diameter exceeds it)"
+    )

@@ -362,6 +362,35 @@ def test_filter_funnel_repetition_stage(spark):
     assert "Join" not in plan
 
 
+def test_connected_components_semantics(spark):
+    """Min-label propagation must return the exact transitive closure:
+    a 4-chain, an isolated pair, a triangle, and an 11-node path (more
+    rounds than a naive 2-3-iteration guess) all labeled by their min
+    node id; empty edge set -> empty result."""
+    from semantic_search_engine_spark.operators.dedup import connected_components
+
+    edges = (
+        [(1, 2), (2, 3), (3, 4)]
+        + [(10, 11)]
+        + [(20, 21), (21, 22), (20, 22)]
+        + [(i, i + 1) for i in range(30, 40)]  # path 30..40
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        int(r["node"]): int(r["component"])
+        for r in connected_components(df).collect()
+    }
+    want = {n: 1 for n in (1, 2, 3, 4)}
+    want |= {n: 10 for n in (10, 11)}
+    want |= {n: 20 for n in (20, 21, 22)}
+    want |= {n: 30 for n in range(30, 41)}
+    assert got == want
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
 def test_unigram_logprob_semantics(spark):
     """unigram_logprob must equal the brute-force corpus-unigram LM on
     handcrafted docs: rare tokens drag the mean down, the empty doc
