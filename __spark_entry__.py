@@ -324,6 +324,65 @@ def q_bm25_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docmap_rerank(spark, d, res)
 
 
+NEAR_SPAN = 4  # unordered window span (33 matching docs at sf0.01)
+
+
+def q_bm25_near_unordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED NEAR (Lucene unordered SpanNear): the distinct query
+    words inside some token window of span ≤ 4 in ANY order, verified
+    by the minimal-cover sweep over the positions stream
+    (operators/query.py:_window_survivors), survivors BM25-ranked.
+    The oracle recomputes per-doc minimal covering windows through an
+    anchor × next-occurrence join — an independent evaluation of the
+    same covering-window definition."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
+
+    d = _pos_index(spark, sf_dir)
+    res = search_index_phrase(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": NEAR_QUERY, "k": BM25_K}],
+        keep_boundary_ties=True,
+        max_gap=NEAR_SPAN,
+        unordered=True,
+    )
+    return _docmap_rerank(spark, d, res)
+
+
+def _bm25_near_unordered_oracle(k: int) -> str:
+    words = sorted(set(NEAR_QUERY.split()))
+    terms = ", ".join(f"'{t}'" for t in words)
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+tp AS (SELECT doc_id, unnest({tok}) AS term, generate_subscripts({tok}, 1) AS pos FROM documents),
+qp AS (SELECT doc_id, pos, term FROM tp WHERE term IN ({terms})),
+nxt AS (
+  SELECT an.doc_id, an.pos AS a, q2.term, min(q2.pos) AS np
+  FROM (SELECT doc_id, pos FROM qp) an
+  JOIN qp q2 ON q2.doc_id = an.doc_id AND q2.pos >= an.pos
+  GROUP BY 1, 2, 3
+),
+cov AS (SELECT doc_id, a, max(np) - a AS span, count(*) AS nt FROM nxt GROUP BY 1, 2),
+nr AS (SELECT doc_id FROM cov WHERE nt = {len(words)} GROUP BY 1 HAVING min(span) <= {NEAR_SPAN}),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+       JOIN nr ON tf.doc_id = nr.doc_id CROSS JOIN st
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = (SELECT count(DISTINCT term) FROM q)
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
 NEAR_BOOST = 0.5
 
 
@@ -817,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
         "bm25_near_topk": q_bm25_near_topk,
         "bm25_near_boosted_topk": q_bm25_near_boosted_topk,
+        "bm25_near_unordered_topk": q_bm25_near_unordered_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
@@ -935,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_near_topk": _bm25_near_oracle(BM25_K),
         "bm25_near_boosted_topk": _bm25_near_boosted_oracle(BM25_K),
+        "bm25_near_unordered_topk": _bm25_near_unordered_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)

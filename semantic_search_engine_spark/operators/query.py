@@ -499,6 +499,76 @@ def _chain_survivors(
     return cands[uci], min_slack
 
 
+def _window_survivors(
+    cands: np.ndarray, words: list[str], data: dict, max_span: int,
+    with_slack: bool = False,
+):
+    """Unordered within-window (NEAR/W) match: the subset of candidates
+    containing ALL distinct query words inside some token window of
+    span ≤ ``max_span`` (span = max position − min position of the
+    covering occurrence set), in ANY order — Lucene's unordered
+    SpanNear, the third member of the span family next to phrase
+    adjacency and ordered slop.
+
+    Minimal-cover sweep, fully vectorized: every occurrence of every
+    query word is an ANCHOR (candidate window minimum); for each
+    anchor, each word's earliest occurrence ≥ the anchor is one
+    ``searchsorted`` into that word's sorted key array (keys =
+    cand_index·M + position, so cross-document probes self-invalidate
+    via the key-space check); the window end is the max over words and
+    the doc's minimal span is a ``minimum.reduceat`` over its anchors.
+    The true minimal window's leftmost element is an occurrence of
+    some word, so anchoring on occurrences is exhaustive. O(total
+    candidate positions · L · log) with no per-doc Python loop.
+
+    ``with_slack=True`` additionally returns min_span − (L−1) per
+    surviving doc (0 iff some window packs the L distinct words into
+    L consecutive tokens) — the unordered analog of the chain filter's
+    slack, feeding the same proximity-boost formula."""
+    uw = sorted(set(words))
+    L = len(uw)
+    empty = np.empty(0, dtype=np.int64)
+    if cands.size == 0 or not uw:
+        return (cands, empty.copy()) if with_slack else cands
+    M = (
+        max(int(data[w][3].max()) if data[w][3].size else 0 for w in uw)
+        + max_span + 2
+    )
+    keys = {}
+    for w in uw:
+        d, tf, _, pos, rs = data[w]
+        r = np.searchsorted(d, cands)
+        counts = tf[r]
+        total = int(counts.sum())
+        out_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.repeat(rs[r] - out_start, counts) + np.arange(total, dtype=np.int64)
+        ci = np.repeat(np.arange(cands.size, dtype=np.int64), counts)
+        keys[w] = ci * M + pos[idx]  # sorted: ci asc, positions asc per run
+    anchors = np.sort(np.concatenate(list(keys.values())))
+    valid = np.ones(anchors.size, dtype=bool)
+    end = anchors.copy()
+    for w in uw:
+        kw = keys[w]
+        p = np.searchsorted(kw, anchors)
+        ok = p < kw.size
+        nxt = kw[np.minimum(p, max(kw.size - 1, 0))]
+        ok &= (nxt // M) == (anchors // M)  # same doc
+        valid &= ok
+        end = np.maximum(end, np.where(ok, nxt, anchors))
+    va = anchors[valid]
+    if va.size == 0:
+        return (empty, empty.copy()) if with_slack else empty
+    spans = end[valid] - va  # same-doc guaranteed, so plain difference
+    ci = va // M
+    uci, first = np.unique(ci, return_index=True)
+    min_span = np.minimum.reduceat(spans, first)
+    sel = np.flatnonzero(min_span <= max_span)
+    hits = cands[uci[sel]]
+    if not with_slack:
+        return hits
+    return hits, (min_span[sel] - (L - 1)).astype(np.int64)
+
+
 def search_index_phrase(
     reader: IndexReader,
     queries: list[dict],
@@ -506,6 +576,7 @@ def search_index_phrase(
     max_gap: int = 1,
     distributed_idf: bool | None = None,
     proximity_boost: float = 0.0,
+    unordered: bool = False,
 ) -> DataFrame:
     """Index-only phrase retrieval: (qid, rank, docid, score) for
     phrase queries, verified from the POSITIONS stream — the stored
@@ -565,7 +636,17 @@ def search_index_phrase(
     match, so tighter matches of the same terms rank higher and a
     ``max_gap=1`` query gets the constant full bonus. The match set
     is unchanged — the bonus only reorders docs that already
-    qualify; semantics pinned by pytest."""
+    qualify; semantics pinned by pytest.
+
+    ``unordered`` switches to Lucene's UNORDERED SpanNear: the
+    distinct query words must all appear inside some token window of
+    SPAN ≤ ``max_gap`` (span = max − min position of the covering
+    set), in any order (:func:`_window_survivors` — minimal-cover
+    sweep anchored on every query-word occurrence). A query dict may
+    carry its own ``"unordered"`` key, so one batch can mix phrase,
+    ordered-slop, and unordered-window retrieval; with
+    ``proximity_boost`` the slack is min_span − (L−1), the same
+    formula as the ordered path."""
     spark = reader.spark
     if not reader.stats.get("has_positions"):
         raise ValueError(
@@ -576,27 +657,28 @@ def search_index_phrase(
     # word ORDER and duplicates matter for phrases, so the plan keeps
     # each query's full word list (not _query_plan's distinct sets)
     tokenized = [
-        (int(q["qid"]), int(q["k"]), tokenize(q["query"]), int(q.get("gap", max_gap)))
+        (
+            int(q["qid"]), int(q["k"]), tokenize(q["query"]),
+            int(q.get("gap", max_gap)), bool(q.get("unordered", unordered)),
+        )
         for q in queries
     ]
-    terms = sorted({t for _, _, ws, _ in tokenized for t in ws})
+    terms = sorted({t for _, _, ws, _, _ in tokenized for t in ws})
     if distributed_idf is None:
         distributed_idf = len(terms) > int(os.environ.get("SSSE_IDF_COLLECT_MAX", "100000"))
     if distributed_idf:
         idf_map = None
-        known_plan = [(qid, k, ws, g) for qid, k, ws, g in tokenized if ws]
+        known_plan = [p for p in tokenized if p[2]]
     else:
         idf_map = reader.idf_map(terms)
         # conjunctive semantics: any unknown term voids its query
         known_plan = [
-            (qid, k, ws, g)
-            for qid, k, ws, g in tokenized
-            if ws and all(t in idf_map for t in ws)
+            p for p in tokenized if p[2] and all(t in idf_map for t in p[2])
         ]
     if not known_plan:
         return _empty_result(spark)
     avgdl = float(reader.stats["avgdl"])
-    used = sorted({t for _, _, ws, _ in known_plan for t in ws})
+    used = sorted({t for _, _, ws, _, _ in known_plan for t in ws})
     # plan + idf map as a broadcast (cached once per executor), not a
     # UDF closure (re-shipped per task) — the WAND path's pattern incl.
     # the unpersist-previous-calls discipline above
@@ -651,7 +733,7 @@ def search_index_phrase(
             return (d, tf, dl, pos, rs)
 
         outs = []
-        for qid, k, words, gap in known_plan:
+        for qid, k, words, gap, uo in known_plan:
             qterms = sorted(set(words))
             if any(t not in by_term for t in qterms):
                 continue  # conjunctive: all terms must appear in this group
@@ -681,7 +763,13 @@ def search_index_phrase(
                 cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 continue
-            if proximity_boost == 0.0:
+            if uo:
+                if proximity_boost == 0.0:
+                    hits = _window_survivors(cands, words, data, gap)
+                    slack = None
+                else:
+                    hits, slack = _window_survivors(cands, words, data, gap, with_slack=True)
+            elif proximity_boost == 0.0:
                 hits = (
                     _phrase_survivors(cands, words, data)
                     if gap == 1
@@ -878,15 +966,16 @@ class LocalIndexProbe:
         return [(r + 1, int(cands[i]), float(scores[i])) for r, i in enumerate(order)]
 
     def search_phrase(
-        self, phrase: str, k: int = 10, max_gap: int = 1, proximity_boost: float = 0.0
+        self, phrase: str, k: int = 10, max_gap: int = 1,
+        proximity_boost: float = 0.0, unordered: bool = False,
     ) -> list[tuple[int, int, float]]:
-        """[(rank, docid, score)] — phrase (adjacency-exact, or ordered
-        proximity with ``max_gap`` > 1) top-k from the positions
-        stream, identical rows to ``search_index_phrase`` for this
-        (phrase, k, max_gap, proximity_boost). Needs a
-        ``store_positions=True`` index. ``proximity_boost`` has the
-        distributed path's semantics (BM25 + boost · Σidf/(1+min_slack),
-        default OFF)."""
+        """[(rank, docid, score)] — phrase (adjacency-exact, ordered
+        proximity with ``max_gap`` > 1, or unordered NEAR-window with
+        ``unordered=True``) top-k from the positions stream, identical
+        rows to ``search_index_phrase`` for this (phrase, k, max_gap,
+        proximity_boost, unordered). Needs a ``store_positions=True``
+        index. ``proximity_boost`` has the distributed path's
+        semantics (BM25 + boost · Σidf/(1+min_slack), default OFF)."""
         if not self.has_positions:
             raise ValueError(
                 "LocalIndexProbe.search_phrase needs a positions-enabled "
@@ -906,7 +995,13 @@ class LocalIndexProbe:
             cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 return []
-        if proximity_boost == 0.0:
+        if unordered:
+            if proximity_boost == 0.0:
+                hits = _window_survivors(cands, words, data, max_gap)
+                slack = None
+            else:
+                hits, slack = _window_survivors(cands, words, data, max_gap, with_slack=True)
+        elif proximity_boost == 0.0:
             hits = (
                 _phrase_survivors(cands, words, data)
                 if max_gap == 1

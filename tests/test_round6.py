@@ -237,6 +237,131 @@ def test_chain_survivors_slack_fuzz():
         assert plain.tolist() == want_hits, trial
 
 
+def test_window_survivors_fuzz():
+    """Randomized pin of the unordered minimal-cover sweep against
+    brute force: min_span must equal the explicit minimum over every
+    one-occurrence-per-word selection, and the survivor set must be
+    the docs with min_span <= max_span."""
+    from itertools import product
+
+    from semantic_search_engine_spark.operators.query import _window_survivors
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(60):
+        L = int(rng.integers(1, 5))
+        max_span = int(rng.integers(L - 1, L + 8))
+        words = [f"w{j}" for j in range(L)]
+        n_docs = int(rng.integers(1, 6))
+        docids = np.sort(rng.choice(1000, size=n_docs, replace=False)).astype(np.int64)
+        pos_by = {w: {} for w in words}
+        for d in docids:
+            for w in words:
+                cnt = int(rng.integers(1, 5))
+                pos_by[w][int(d)] = np.sort(
+                    rng.choice(40, size=cnt, replace=False)
+                ).astype(np.int64)
+        data = {}
+        for w in words:
+            tfs = np.array([len(pos_by[w][int(d)]) for d in docids], dtype=np.int64)
+            pos = np.concatenate([pos_by[w][int(d)] for d in docids])
+            rs = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+            data[w] = (docids, tfs, np.full(n_docs, 50, dtype=np.int64), pos, rs)
+
+        def brute_span(d):
+            return min(
+                max(sel) - min(sel)
+                for sel in product(*[pos_by[w][int(d)] for w in words])
+            )
+
+        spans = {int(d): brute_span(d) for d in docids}
+        want_hits = sorted(d for d, s in spans.items() if s <= max_span)
+        hits, slack = _window_survivors(docids, words, data, max_span, with_slack=True)
+        assert hits.tolist() == want_hits, trial
+        assert [spans[int(d)] - (L - 1) for d in hits] == slack.tolist(), trial
+        assert _window_survivors(docids, words, data, max_span).tolist() == want_hits
+
+
+def test_unordered_near_end_to_end(spark, pos_index6):
+    """unordered NEAR through every surface: word order must not
+    matter, the ordered chain filter's misses must be recovered, the
+    local probe must match the distributed rows, and one batch must
+    mix phrase / ordered / unordered queries."""
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader,
+        LocalIndexProbe,
+        search_index_phrase,
+    )
+
+    rows = [
+        ("d0", "alpha beta pad0 pad1 pad2 pad3"),
+        ("d1", "beta pad0 alpha pad1 pad2 pad3"),  # reverse order, span 2
+        ("d2", "alpha pad0 pad1 pad2 pad3 beta"),  # span 5
+        ("d3", "pad0 pad1 pad2 pad3 pad4 pad5"),
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ssse_near_")
+    docs = spark.createDataFrame(rows, "url string, text string")
+    build_index(docs, d, num_shards=2, store_positions=True)
+    reader = IndexReader(spark, d)
+
+    def hit_docids(res):
+        from semantic_search_engine_spark.sources.index_store import read_docmap
+
+        dm = {int(r["docid"]): r["url"] for r in read_docmap(spark, d).collect()}
+        return sorted(dm[int(r["docid"])] for r in res.collect())
+
+    # unordered window span<=3: d0 (span 1) and d1 (span 2); the
+    # ORDERED chain at gap 3 sees only d0 ("beta ... alpha" is reversed)
+    un = search_index_phrase(
+        reader, [{"qid": 0, "query": "alpha beta", "k": 10}], max_gap=3, unordered=True
+    )
+    assert hit_docids(un) == ["d0", "d1"]
+    od = search_index_phrase(
+        reader, [{"qid": 0, "query": "alpha beta", "k": 10}], max_gap=3
+    )
+    assert hit_docids(od) == ["d0"]
+    # word order irrelevant when unordered
+    un_rev = search_index_phrase(
+        reader, [{"qid": 0, "query": "beta alpha", "k": 10}], max_gap=3, unordered=True
+    )
+    assert hit_docids(un_rev) == ["d0", "d1"]
+    # span 5 window catches d2 too
+    un5 = search_index_phrase(
+        reader, [{"qid": 0, "query": "alpha beta", "k": 10}], max_gap=5, unordered=True
+    )
+    assert hit_docids(un5) == ["d0", "d1", "d2"]
+    # local probe identity (with and without boost)
+    probe = LocalIndexProbe(d)
+    for boost in (0.0, 0.7):
+        want = [
+            (int(r["rank"]), int(r["docid"]), round(float(r["score"]), 9))
+            for r in search_index_phrase(
+                reader, [{"qid": 0, "query": "alpha beta", "k": 10}],
+                max_gap=3, unordered=True, proximity_boost=boost,
+            ).orderBy("rank").collect()
+        ]
+        got = [
+            (r, dd, round(s, 9))
+            for r, dd, s in probe.search_phrase(
+                "alpha beta", k=10, max_gap=3, proximity_boost=boost, unordered=True
+            )
+        ]
+        assert got == want, boost
+    # mixed batch: phrase, ordered slop, unordered window per query
+    mixed = search_index_phrase(
+        reader,
+        [
+            {"qid": 0, "query": "alpha beta", "k": 10},                      # phrase
+            {"qid": 1, "query": "alpha beta", "k": 10, "gap": 3},            # ordered
+            {"qid": 2, "query": "alpha beta", "k": 10, "gap": 3, "unordered": True},
+        ],
+    ).toPandas()
+    per_qid = mixed.groupby("qid")["docid"].nunique().to_dict()
+    assert per_qid == {0: 1, 1: 1, 2: 2}
+
+
 # ------------------------------------------------- wide-miss term load
 
 def test_local_index_probe_wide_miss_identity(spark, pos_index6):
