@@ -617,6 +617,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, max_shingle_df=1000)
 
 
+def q_text_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pairs → duplicate CLUSTERS: the same
+    connected-components operator over the n-gram-Jaccard pair graph
+    (at sf0.01 the graph has a 3-doc component, so the transitive case
+    is exercised, not just isolated pairs)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8, max_shingle_df=1000
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_band_pairs(_docs(spark, sf_dir))
 
@@ -891,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_dup_clusters": q_text_dup_clusters,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "minhash_signatures": q_minhash_signatures,
         "simhash16": q_simhash16,
@@ -1155,6 +1168,22 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
 j AS (SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
       FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8
+""",
+        "text_dup_clusters": f"""
+WITH RECURSIVE {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id),
+p AS (SELECT id_a AS u, id_b AS w FROM j WHERE jaccard >= 0.8),
+sym AS (SELECT u, w FROM p UNION SELECT w AS u, u AS w FROM p),
+reach(node, label) AS (
+  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u AS node, r.label FROM sym s JOIN reach r ON s.w = r.node
+)
+SELECT node AS doc_id, min(label)::BIGINT AS component FROM reach GROUP BY 1
 """,
         "dedup_minhash_bands": f"""
 WITH {_minhash_cte()},
