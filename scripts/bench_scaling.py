@@ -71,6 +71,19 @@ def run(
     if not lines:
         raise RuntimeError(f"bench failed ({master}):\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
     res = json.loads(lines[-1])
+    # bench.py prints a DETAIL line (reps, cold, peak_mem, extras)
+    # before the compact final line — merge it back in so the Raw JSON
+    # this script writes into BENCH/BASELINE.md keeps the per-rep raws
+    # and cold block its Method section promises
+    for line in lines[:-1]:
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and d.get("detail"):
+            d.pop("detail", None)
+            for k, v in d.items():
+                res.setdefault(k, v)
     res["wall"] = round(time.time() - t0, 1)
     res["master"] = master
     return res

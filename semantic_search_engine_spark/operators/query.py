@@ -569,6 +569,43 @@ def _window_survivors(
     return hits, (min_span[sel] - (L - 1)).astype(np.int64)
 
 
+def _span_hits(
+    cands: np.ndarray, words: list[str], data: dict, gap: int,
+    unordered: bool, with_slack: bool,
+):
+    """(hits, slack | None) — the ONE dispatch between the three span
+    filters (phrase adjacency / ordered chain / unordered window),
+    shared verbatim by the distributed kernel and the local probe so
+    their row-identity contract cannot drift. ``slack`` is None when
+    the caller doesn't need it (no boost), else the per-hit minimal
+    extra gap (0 for adjacency by definition)."""
+    if unordered:
+        if not with_slack:
+            return _window_survivors(cands, words, data, gap), None
+        return _window_survivors(cands, words, data, gap, with_slack=True)
+    if not with_slack:
+        hits = (
+            _phrase_survivors(cands, words, data)
+            if gap == 1
+            else _chain_survivors(cands, words, data, gap)
+        )
+        return hits, None
+    if gap == 1:
+        hits = _phrase_survivors(cands, words, data)
+        return hits, np.zeros(hits.size, dtype=np.int64)  # adjacency ⇒ slack 0
+    return _chain_survivors(cands, words, data, gap, with_slack=True)
+
+
+def _boosted(scores: np.ndarray, slack, qterms: list[str], idf_map: dict, boost: float):
+    """score + boost · Σidf / (1 + slack) — the one proximity-boost
+    formula, shared by both serving paths; identity when slack is
+    None (boost off)."""
+    if slack is None:
+        return scores
+    idf_sum = float(sum(idf_map[t] for t in qterms))
+    return scores + boost * (idf_sum / (1.0 + slack))
+
+
 def search_index_phrase(
     reader: IndexReader,
     queries: list[dict],
@@ -763,31 +800,16 @@ def search_index_phrase(
                 cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 continue
-            if uo:
-                if proximity_boost == 0.0:
-                    hits = _window_survivors(cands, words, data, gap)
-                    slack = None
-                else:
-                    hits, slack = _window_survivors(cands, words, data, gap, with_slack=True)
-            elif proximity_boost == 0.0:
-                hits = (
-                    _phrase_survivors(cands, words, data)
-                    if gap == 1
-                    else _chain_survivors(cands, words, data, gap)
-                )
-                slack = None
-            elif gap == 1:
-                hits = _phrase_survivors(cands, words, data)
-                slack = np.zeros(hits.size, dtype=np.int64)  # adjacency ⇒ slack 0
-            else:
-                hits, slack = _chain_survivors(cands, words, data, gap, with_slack=True)
+            hits, slack = _span_hits(
+                cands, words, data, gap, uo, proximity_boost != 0.0
+            )
             if hits.size == 0:
                 continue
             per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
-            scores = _score_candidates(hits, per_term, idf_map, avgdl)
-            if slack is not None:
-                idf_sum = float(sum(idf_map[t] for t in qterms))
-                scores = scores + proximity_boost * (idf_sum / (1.0 + slack))
+            scores = _boosted(
+                _score_candidates(hits, per_term, idf_map, avgdl),
+                slack, qterms, idf_map, proximity_boost,
+            )
             if scores.size > k:
                 kth = np.partition(scores, scores.size - k)[scores.size - k]
                 sel = np.flatnonzero(scores >= kth)
@@ -935,17 +957,13 @@ class LocalIndexProbe:
         ``LocalIVFProbe.search_batch`` discipline. The middle ground
         between single probes and the distributed ``search_index_wand``
         job: right for 10-1000-query batches in a serving process."""
+        from .lru import raised_cache_cap
+
         union = sorted({t for q in queries for t in tokenize(q)})
-        old_cap = self._cache_cap
-        self._cache_cap = max(old_cap, len(union) + 1)
-        try:
+        with raised_cache_cap(self, len(union) + 1):
             for i in range(0, len(union), 512):
                 self._load_terms(union[i : i + 512])
             return [self.search(q, k=k) for q in queries]
-        finally:
-            self._cache_cap = old_cap
-            while len(self._cache) > self._cache_cap:
-                self._cache.popitem(last=False)
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
         """[(rank, docid, score)] — identical rows to the distributed
@@ -995,31 +1013,16 @@ class LocalIndexProbe:
             cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 return []
-        if unordered:
-            if proximity_boost == 0.0:
-                hits = _window_survivors(cands, words, data, max_gap)
-                slack = None
-            else:
-                hits, slack = _window_survivors(cands, words, data, max_gap, with_slack=True)
-        elif proximity_boost == 0.0:
-            hits = (
-                _phrase_survivors(cands, words, data)
-                if max_gap == 1
-                else _chain_survivors(cands, words, data, max_gap)
-            )
-            slack = None
-        elif max_gap == 1:
-            hits = _phrase_survivors(cands, words, data)
-            slack = np.zeros(hits.size, dtype=np.int64)
-        else:
-            hits, slack = _chain_survivors(cands, words, data, max_gap, with_slack=True)
+        hits, slack = _span_hits(
+            cands, words, data, max_gap, unordered, proximity_boost != 0.0
+        )
         if hits.size == 0:
             return []
         per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
-        scores = _score_candidates(hits, per_term, idf_map, self.avgdl)
-        if slack is not None:
-            idf_sum = float(sum(idf_map[t] for t in qterms))
-            scores = scores + proximity_boost * (idf_sum / (1.0 + slack))
+        scores = _boosted(
+            _score_candidates(hits, per_term, idf_map, self.avgdl),
+            slack, qterms, idf_map, proximity_boost,
+        )
         if scores.size > k:
             kth = np.partition(scores, scores.size - k)[scores.size - k]
             sel = np.flatnonzero(scores >= kth)

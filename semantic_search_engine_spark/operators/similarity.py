@@ -448,16 +448,12 @@ class LocalIVFProbe:
         # distinct buckets than the LRU cap would evict them before use
         # (pure wasted I/O, per-query fallback loads). Raise the cap
         # for the batch's duration, restore + trim after.
-        old_cap = self._cache_cap
-        self._cache_cap = max(old_cap, len(union))
-        try:
+        from .lru import raised_cache_cap
+
+        with raised_cache_cap(self, len(union)):
             for i in range(0, len(union), 32):
                 self._load_buckets(union[i : i + 32])
             return [self.search(qm[i], k=k, n_probe=n_probe) for i in range(qm.shape[0])]
-        finally:
-            self._cache_cap = old_cap
-            while len(self._cache) > self._cache_cap:
-                self._cache.popitem(last=False)
 
     def search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
         """[(id, cos)] — identical rows to ``IVFIndex.search(...)``."""

@@ -245,7 +245,9 @@ def unigram_logprob(
     ts = tokens_col(F.col(text_col))
     ex = docs.select(F.col(id_col).alias("_id"), F.explode(ts).alias("term"))
     tf = ex.groupBy("term").agg(F.count("*").cast("double").alias("cnt"))
-    total = ex.agg(F.count("*").cast("double").alias("total"))
+    # the total is the SUM of the per-term counts — derive it from the
+    # (tiny) vocab table rather than a second full corpus scan
+    total = tf.agg(F.sum("cnt").alias("total"))
     logp = tf.crossJoin(F.broadcast(total)).select(
         "term", F.log(F.col("cnt") / F.col("total")).alias("logp")
     )
