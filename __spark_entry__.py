@@ -516,6 +516,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-word and BPE-pre-tokenization span counts side by
+    side (operators/textstats.py:bpe_token_counts — letter/digit runs
+    + single other chars, the GPT-2 pre-tokenizer shape as an
+    engine-portable regex)."""
+    return textstats.bpe_token_counts(_docs(spark, sf_dir))
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_docs(spark, sf_dir))
 
@@ -893,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1019,6 +1028,11 @@ WITH dl AS (SELECT len({tok})::BIGINT AS dl FROM documents)
 SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens, round(avg(dl), 6) AS avgdl FROM dl
 """,
         "token_counts": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        "bpe_token_counts": f"""
+SELECT doc_id, len({tok})::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
         "quality_scores": f"""
 SELECT doc_id,
        len({tok})::BIGINT AS n_tokens,

@@ -27,6 +27,35 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col), token_count_col(F.col(text_col)).alias("n_tokens"))
 
 
+# GPT-2-style pre-tokenization reduced to an engine-portable regex:
+# letter runs, digit runs, and single other non-space characters. This
+# is what BPE operates ON (merges only ever split within these spans),
+# so its count is the standard cheap proxy for LLM token budgeting —
+# pinned v1, identical semantics in Spark (Java regex) and DuckDB (RE2).
+BPE_SPAN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpe_token_count_col(text_col) -> "F.Column":
+    """BPE-pre-tokenization span count over lowercased text — the
+    LLM-token-budget estimate next to the engine-tokenizer count
+    ('2nd-gen!' is one alnum-run token pair [2nd, gen] to the engine
+    but four BPE spans: 2, nd, -, gen, plus !)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text_col), F.lit(BPE_SPAN_RE), F.lit(0))
+    ).cast("long")
+
+
+def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_bpe_tokens) — whitespace-word and BPE-span
+    counts side by side; the ratio is itself a quality signal (high
+    spans-per-word = symbol-heavy text)."""
+    return docs.select(
+        F.col(id_col),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        bpe_token_count_col(F.col(text_col)).alias("n_bpe_tokens"),
+    )
+
+
 def quality_col(text_col) -> "F.Column":
     """Pinned quality heuristic (v1), rounded to 6 dp:
       q = 0.4·min(n_tokens/100, 1) + 0.3·distinct_ratio + 0.3·alnum_ratio

@@ -459,6 +459,28 @@ def test_repetition_stats_semantics(spark):
     assert "Exchange" not in plan  # zero shuffles: scan -> project only
 
 
+def test_bpe_token_counts_semantics(spark):
+    """The BPE-span count must match hand-counted pre-tokenization
+    spans: letter runs, digit runs, single other non-space chars."""
+    from semantic_search_engine_spark.operators.textstats import bpe_token_counts
+
+    rows = [
+        (0, "don't stop"),        # spans: don + ' + t + stop = 4; tokenizer: don,t,stop = 3
+        (1, "a 2nd-gen model!"),  # spans: a,2,nd,-,gen,model,! = 7; tokenizer: a,2nd,gen,model = 4
+        (2, "abc123"),            # spans: abc + 123 = 2; tokenizer: abc123 = 1
+        (3, ""),                  # 0 spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        int(r["doc_id"]): (int(r["n_tokens"]), int(r["n_bpe_tokens"]))
+        for r in bpe_token_counts(docs).collect()
+    }
+    assert got[0] == (3, 4)
+    assert got[1] == (4, 7)
+    assert got[2] == (1, 2)
+    assert got[3][1] == 0
+
+
 def test_filter_funnel_repetition_stage(spark):
     """filter_funnel(max_top_ngram_frac=...) drops the boilerplate doc
     between quality and unique, keeps the v1 4-column schema when the
