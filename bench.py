@@ -295,6 +295,19 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 3), "result_rows": int(nrows),
             }
 
+            # unordered NEAR over the same 8 term pairs, once: the
+            # minimal-cover sweep's cost next to the ordered batch row
+            t0 = time.perf_counter()
+            nrows = search_index_phrase(
+                pos_reader,
+                [dict(q, gap=4) for q in phrase_queries],
+                unordered=True,
+            ).count()
+            extras["near_unordered_batch"] = {
+                "n_queries": len(phrase_queries), "span": 4,
+                "sec": round(time.perf_counter() - t0, 3), "result_rows": int(nrows),
+            }
+
             # decode-volume comparison (bytes each plan must touch per
             # 8-phrase batch): indexed = the phrase terms' posting blocks
             # incl. positions; text plan = same minus positions PLUS the

@@ -566,6 +566,39 @@ class PQIndex:
         )
         return cls(codes, codebooks, id_col, vec_col)
 
+    def save(self, path: str) -> None:
+        """Persist the PQ index: the codes table as parquet (8 bytes of
+        payload per vector — the whole point of PQ at 100 TB) plus the
+        codebooks and column names as JSON (a few KB of driver
+        arrays)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+        with open(os.path.join(path, "codebooks.json"), "w") as f:
+            json.dump(
+                {
+                    "codebooks": self.codebooks.tolist(),
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "codebooks.json")) as f:
+            meta = json.load(f)
+        codes = spark.read.parquet(os.path.join(path, "codes"))
+        return cls(
+            codes, np.asarray(meta["codebooks"], dtype=np.float64),
+            meta["id_col"], meta["vec_col"],
+        )
+
     def adc_scores(self, query_vec: list[float]) -> DataFrame:
         """(id, adc) — approximate cosine via one table lookup-sum per
         row, entirely JVM-side (the inlined lookup table is
@@ -591,6 +624,72 @@ class PQIndex:
             .orderBy(F.desc("cos"), F.asc(self.id_col))
             .limit(k)
         )
+
+
+class LocalPQProbe:
+    """Driver-local ADC serving over a saved :class:`PQIndex` — the
+    third member of the local-probe family (text: ``LocalIndexProbe``,
+    vectors: ``LocalIVFProbe``). PQ codes are 1 int per segment per
+    vector, so even a 100M-vector index's code table is RAM-resident
+    on a driver (the reference's own serving shape,
+    /root/reference/src/PQ.py:142-204: codes in memory, per-query
+    lookup tables); one parquet read at startup, then every query is
+    a pure NumPy gather-sum with NO Spark job and no per-query I/O.
+
+    Score identity: the per-segment lookup tables are built from the
+    same driver-side float64 matmul the distributed ``adc_expr``
+    inlines as literals, and the accumulation loops segments in the
+    same order as the JVM ``aggregate`` fold — so ADC scores are
+    bit-identical to the distributed column, and the (adc desc, id
+    asc) top-k matches ``adc_scores``' ordering exactly
+    (pytest-asserted)."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        import pyarrow.dataset as ds
+
+        with open(os.path.join(path, "codebooks.json")) as f:
+            meta = json.load(f)
+        self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        self.id_col = meta["id_col"]
+        t = ds.dataset(os.path.join(path, "codes"), format="parquet").to_table()
+        self.ids = t.column(self.id_col).to_numpy()
+        nseg = self.codebooks.shape[0]
+        codes_col = t.column("codes")
+        chunks = [
+            (
+                ch.values
+                if ch.offset == 0 and ch.null_count == 0
+                and len(ch.values) == len(ch) * nseg
+                else ch.flatten()
+            ).to_numpy(zero_copy_only=False)
+            for ch in codes_col.chunks
+        ]
+        flat = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+        self.codes = flat.reshape(len(self.ids), nseg).astype(np.int64)
+
+    def search(self, query_vec: list[float], k: int = 10) -> list[tuple[int, float]]:
+        """[(id, adc)] — ADC top-k under (adc desc, id asc), identical
+        rows to ``PQIndex.adc_scores(q).orderBy(desc adc, id)`` for
+        this (query, k)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        nseg, _, dseg = self.codebooks.shape
+        table = np.stack(
+            [q[s * dseg:(s + 1) * dseg] @ self.codebooks[s].T for s in range(nseg)]
+        )
+        adc = np.zeros(len(self.ids), dtype=np.float64)
+        for s in range(nseg):  # sequential fold — the JVM aggregate's order
+            adc += table[s][self.codes[:, s]]
+        if adc.size > k:
+            kth = np.partition(adc, adc.size - k)[adc.size - k]
+            sel = np.flatnonzero(adc >= kth)
+        else:
+            sel = np.arange(adc.size)
+        order = sel[np.lexsort((self.ids[sel], -adc[sel]))][:k]
+        return [(int(self.ids[i]), float(adc[i])) for i in order]
 
 
 class IVFPQIndex:

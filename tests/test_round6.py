@@ -5,6 +5,7 @@ cache cap in LocalIVFProbe.search_batch."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from semantic_search_engine_spark.fixtures.vectors import (
     generate_query_vectors,
@@ -569,6 +570,39 @@ def test_unigram_logprob_semantics(spark):
         assert got[d][0] == len(ws) and got[d][1] == pytest.approx(want, abs=1e-9), d
     # common-token doc scores higher (closer to 0) than the rare-token doc
     assert got[0][1] > got[1][1] > got[2][1]
+
+
+# ------------------------------------------------- local PQ probe
+
+def test_local_pq_probe_equals_distributed_adc(spark, tmp_path):
+    """PQIndex.save/load must round-trip (identical search rows), and
+    LocalPQProbe's ADC top-k must match the distributed adc_scores
+    ordering bit-exactly (same lookup tables, same fold order)."""
+    from semantic_search_engine_spark.operators import similarity
+
+    emb = generate_vectors(spark, 1500, dim=16).cache()
+    emb.count()
+    pq = similarity.PQIndex.build(emb, n_segments=4, n_codes=8, sample_cap=600)
+    d = str(tmp_path / "pq6")
+    pq.save(d)
+    loaded = similarity.PQIndex.load(spark, d)
+    q = generate_query_vectors(3, dim=16)
+    for qv in q:
+        a = pq.search(emb, qv, k=10).collect()
+        b = loaded.search(emb, qv, k=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    probe = similarity.LocalPQProbe(d)
+    for qv in q:
+        want = [
+            (int(r[0]), float(r[1]))
+            for r in pq.adc_scores(qv)
+            .orderBy(F.desc("adc"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        ]
+        got = probe.search(qv, k=10)
+        assert got == want  # bit-exact: same tables, same fold order
+    emb.unpersist()
 
 
 # ------------------------------------------------- IVF batch cache cap
