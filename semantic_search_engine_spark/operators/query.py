@@ -769,6 +769,23 @@ def search_index_phrase(
             pos, rs = decode_positions(tf, rows["positions_bin"])
             return (d, tf, dl, pos, rs)
 
+        # a term used by SEVERAL of the batch's queries decodes FULLY
+        # once and is reused (results identical — the span filters and
+        # scorer searchsorted candidates into the term's arrays, so a
+        # superset decode changes nothing). The per-query candidate-
+        # driven subset decode below stays the path for single-use
+        # terms, where it is strictly cheaper; at mega-batch width the
+        # vocabulary repeats heavily and re-selecting overlapping block
+        # subsets per query was the kernel's hot spot.
+        from collections import Counter
+
+        use_counts = Counter(t for _, _, ws, _, _ in known_plan for t in set(ws))
+
+        def full_decode(t: str) -> tuple:
+            if t not in full_cache:
+                full_cache[t] = decode_rows(by_term[t])
+            return full_cache[t]
+
         outs = []
         for qid, k, words, gap, uo in known_plan:
             qterms = sorted(set(words))
@@ -782,13 +799,15 @@ def search_index_phrase(
             # blocks were selected — so kept blocks cover every hit for
             # both verification and scoring.
             order_t = sorted(qterms, key=lambda t: (int(by_term[t]["n"].sum()), t))
-            if order_t[0] not in full_cache:
-                full_cache[order_t[0]] = decode_rows(by_term[order_t[0]])
-            data: dict[str, tuple] = {order_t[0]: full_cache[order_t[0]]}
+            data: dict[str, tuple] = {order_t[0]: full_decode(order_t[0])}
             cands = data[order_t[0]][0]
             for t in order_t[1:]:
                 if cands.size == 0:
                     break
+                if use_counts[t] >= 2 or t in full_cache:
+                    data[t] = full_decode(t)
+                    cands = np.intersect1d(cands, data[t][0], assume_unique=True)
+                    continue
                 rows = by_term[t]
                 lo = np.searchsorted(cands, rows["first_docid"].to_numpy())
                 hi = np.searchsorted(cands, rows["last_docid"].to_numpy(), side="right")
