@@ -727,16 +727,62 @@ class IVFPQIndex:
         pq.codes.unpersist()
         return cls(table, ivf.centroids, pq.codebooks, id_col, vec_col)
 
+    def save(self, path: str) -> None:
+        """Persist: the (id, bucket, codes) table bucket-partitioned —
+        a probe reads ONLY its n_probe partition directories, each
+        holding 8-byte codes, the scan-cheapest on-disk ANN layout —
+        plus centroids + codebooks as JSON driver arrays."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        (
+            self.table.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "codes"))
+        )
+        with open(os.path.join(path, "ivfpq.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "codebooks": self.codebooks.tolist(),
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "ivfpq.json")) as f:
+            meta = json.load(f)
+        table = spark.read.parquet(os.path.join(path, "codes"))
+        return cls(
+            table,
+            np.asarray(meta["centroids"], dtype=np.float64),
+            np.asarray(meta["codebooks"], dtype=np.float64),
+            meta["id_col"], meta["vec_col"],
+        )
+
+    def adc_scores(self, query_vec: list[float], n_probe: int = 4) -> DataFrame:
+        """(id, adc) over the probed buckets only — the IVF-pruned ADC
+        column the local probe must reproduce exactly."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        probe = [int(b) for b in np.argsort(cn @ (q / np.linalg.norm(q)))[-n_probe:]]
+        return self.table.filter(F.col("bucket").isin(probe)).select(
+            F.col(self.id_col), adc_expr(self.codebooks, query_vec).alias("adc")
+        )
+
     def search(
         self, emb: DataFrame, query_vec: list[float], k: int = 10,
         n_probe: int = 4, shortlist: int | None = None, exclude_ids: list[int] | None = None,
     ) -> DataFrame:
         q = np.asarray(query_vec, dtype=np.float64)
-        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
-        probe = [int(b) for b in np.argsort(cn @ (q / np.linalg.norm(q)))[-n_probe:]]
-        sl = self.table.filter(F.col("bucket").isin(probe)).select(
-            F.col(self.id_col), adc_expr(self.codebooks, query_vec).alias("adc")
-        )
+        sl = self.adc_scores(query_vec, n_probe=n_probe)
         if exclude_ids:
             sl = sl.filter(~F.col(self.id_col).isin(exclude_ids))
         if shortlist is not None:
@@ -748,6 +794,114 @@ class IVFPQIndex:
             .orderBy(F.desc("cos"), F.asc(self.id_col))
             .limit(k)
         )
+
+
+class LocalIVFPQProbe:
+    """Driver-local IVF-PQ serving over a saved :class:`IVFPQIndex` —
+    the scan-cheapest member of the local-probe family: a probe reads
+    ONLY its n_probe bucket partitions and each row is an 8-byte code,
+    so even cold queries touch kilobytes. Combines
+    ``LocalIVFProbe``'s bucket LRU (one partition-filtered dataset
+    read per miss set, sort+searchsorted split) with
+    ``LocalPQProbe``'s ADC gather-sum (same lookup tables and fold
+    order as the distributed ``adc_expr`` column, so scores are
+    bit-identical and the (adc desc, id asc) top-k matches
+    ``IVFPQIndex.adc_scores`` exactly — pytest-asserted)."""
+
+    def __init__(self, path: str, cache_buckets: int = 256, arrow_threads: int | None = None):
+        import json
+        from collections import OrderedDict
+
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        want = arrow_threads or min(8, os.cpu_count() or 8)
+        if pa.cpu_count() < want:
+            pa.set_cpu_count(want)
+        with open(os.path.join(path, "ivfpq.json")) as f:
+            meta = json.load(f)
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        self.id_col = meta["id_col"]
+        self._cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cache_cap = cache_buckets
+        self._ds = ds
+        self._dataset = ds.dataset(
+            os.path.join(path, "codes"), format="parquet", partitioning="hive"
+        )
+
+    def _load_buckets(self, buckets: list[int]) -> list[tuple[np.ndarray, np.ndarray]]:
+        """[(ids, codes matrix)] per probed bucket — the LocalIVFProbe
+        miss-set pattern over code rows instead of vectors."""
+        miss = [b for b in buckets if b not in self._cache]
+        if miss:
+            t = self._dataset.to_table(
+                columns=[self.id_col, "codes", "bucket"],
+                filter=self._ds.field("bucket").isin(miss),
+            )
+            ids_all = t.column(self.id_col).to_numpy()
+            bk = t.column("bucket").to_numpy()
+            nseg = self.codebooks.shape[0]
+            chunks = [
+                (
+                    ch.values
+                    if ch.offset == 0 and ch.null_count == 0
+                    and len(ch.values) == len(ch) * nseg
+                    else ch.flatten()
+                ).to_numpy(zero_copy_only=False)
+                for ch in t.column("codes").chunks
+            ]
+            flat = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+            codes_all = (
+                flat.reshape(len(ids_all), nseg).astype(np.int64)
+                if len(ids_all)
+                else np.empty((0, nseg), np.int64)
+            )
+            order = (
+                np.argsort(bk, kind="stable") if len(ids_all) else np.empty(0, np.int64)
+            )
+            bk_sorted = bk[order] if len(ids_all) else bk
+            for b in miss:
+                lo = np.searchsorted(bk_sorted, b)
+                hi = np.searchsorted(bk_sorted, b, side="right")
+                sel = order[lo:hi]
+                self._cache[b] = (ids_all[sel], codes_all[sel])
+        out = []
+        for b in buckets:
+            self._cache.move_to_end(b)
+            out.append(self._cache[b])
+        while len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+        return out
+
+    def search(
+        self, query_vec: list[float], k: int = 10, n_probe: int = 4
+    ) -> list[tuple[int, float]]:
+        """[(id, adc)] — identical rows to
+        ``IVFPQIndex.adc_scores(q, n_probe).orderBy(desc adc, id)``."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        probe = [int(b) for b in np.argsort(self._cn @ (q / np.linalg.norm(q)))[-n_probe:]]
+        parts = self._load_buckets(probe)
+        ids = np.concatenate([p[0] for p in parts])
+        if ids.size == 0:
+            return []
+        codes = np.vstack([p[1] for p in parts])
+        qn = q / np.linalg.norm(q)
+        nseg, _, dseg = self.codebooks.shape
+        table = np.stack(
+            [qn[s * dseg:(s + 1) * dseg] @ self.codebooks[s].T for s in range(nseg)]
+        )
+        adc = np.zeros(ids.size, dtype=np.float64)
+        for s in range(nseg):  # sequential fold — the JVM aggregate's order
+            adc += table[s][codes[:, s]]
+        if adc.size > k:
+            kth = np.partition(adc, adc.size - k)[adc.size - k]
+            sel = np.flatnonzero(adc >= kth)
+        else:
+            sel = np.arange(adc.size)
+        order = sel[np.lexsort((ids[sel], -adc[sel]))][:k]
+        return [(int(ids[i]), float(adc[i])) for i in order]
 
 
 # ---------------------------------------------------------------- LSH

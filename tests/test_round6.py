@@ -605,6 +605,40 @@ def test_local_pq_probe_equals_distributed_adc(spark, tmp_path):
     emb.unpersist()
 
 
+def test_local_ivfpq_probe_equals_distributed_adc(spark, tmp_path):
+    """IVFPQIndex.save/load must round-trip, and LocalIVFPQProbe's
+    bucket-probed ADC top-k must match the distributed
+    adc_scores(n_probe) ordering bit-exactly — including with a
+    bucket cache smaller than the probe set."""
+    from semantic_search_engine_spark.operators import similarity
+
+    emb = generate_vectors(spark, 1500, dim=16).cache()
+    emb.count()
+    ivfpq = similarity.IVFPQIndex.build(
+        emb, n_clusters=8, n_segments=4, n_codes=8, sample_cap=600
+    )
+    d = str(tmp_path / "ivfpq6")
+    ivfpq.save(d)
+    loaded = similarity.IVFPQIndex.load(spark, d)
+    qs = generate_query_vectors(3, dim=16)
+    for qv in qs:
+        a = ivfpq.search(emb, qv, k=10, n_probe=3).collect()
+        b = loaded.search(emb, qv, k=10, n_probe=3).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for cache in (256, 2):  # plenty and starved
+        probe = similarity.LocalIVFPQProbe(d, cache_buckets=cache)
+        for qv in qs:
+            want = [
+                (int(r[0]), float(r[1]))
+                for r in loaded.adc_scores(qv, n_probe=3)
+                .orderBy(F.desc("adc"), F.asc("vec_id"))
+                .limit(10)
+                .collect()
+            ]
+            assert probe.search(qv, k=10, n_probe=3) == want, cache
+    emb.unpersist()
+
+
 # ------------------------------------------------- IVF batch cache cap
 
 def test_ivf_search_batch_survives_small_cache(spark, tmp_path):
