@@ -875,6 +875,26 @@ class LocalIVFPQProbe:
             self._cache.popitem(last=False)
         return out
 
+    def search_batch(
+        self, query_vecs, k: int = 10, n_probe: int = 4
+    ) -> list[list[tuple[int, float]]]:
+        """Per-query results identical to ``search`` on each — the
+        batch's probe union preloads in bounded chunks with the LRU
+        cap raised for the batch (the shared ``raised_cache_cap``
+        discipline of the other batched probes)."""
+        from .lru import raised_cache_cap
+
+        qm = np.asarray(query_vecs, dtype=np.float64)
+        if qm.ndim == 1:
+            qm = qm[None, :]
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        probes = np.argsort(qn @ self._cn.T, axis=1)[:, -n_probe:]
+        union = sorted({int(b) for row in probes for b in row})
+        with raised_cache_cap(self, len(union)):
+            for i in range(0, len(union), 32):
+                self._load_buckets(union[i : i + 32])
+            return [self.search(qm[i], k=k, n_probe=n_probe) for i in range(qm.shape[0])]
+
     def search(
         self, query_vec: list[float], k: int = 10, n_probe: int = 4
     ) -> list[tuple[int, float]]:

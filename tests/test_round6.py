@@ -636,6 +636,12 @@ def test_local_ivfpq_probe_equals_distributed_adc(spark, tmp_path):
                 .collect()
             ]
             assert probe.search(qv, k=10, n_probe=3) == want, cache
+    # batched = per-query, with the union preloaded through a starved cache
+    small = similarity.LocalIVFPQProbe(d, cache_buckets=2)
+    got = small.search_batch(qs, k=10, n_probe=3)
+    fresh = similarity.LocalIVFPQProbe(d)
+    assert got == [fresh.search(qv, k=10, n_probe=3) for qv in qs]
+    assert len(small._cache) <= 2 and small._cache_cap == 2
     emb.unpersist()
 
 
