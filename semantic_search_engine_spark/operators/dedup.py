@@ -257,6 +257,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(node, component) — connected components of the undirected pair
     graph, component = the minimum node id reachable. Duplicate PAIRS
@@ -280,11 +281,25 @@ def connected_components(
     convergence probe reuses that materialization — one count job,
     never a collect of data. Raises if ``max_iter`` rounds don't
     converge (silent partial labels would corrupt downstream dedup).
-    """
+
+    ``algorithm="star"`` switches to alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): each round rewires every node's larger neighbors
+    (large-star) then its smaller-or-equal neighbors (small-star) to
+    the neighborhood minimum, contracting components to min-centered
+    stars in O(log d) rounds REGARDLESS of diameter — the right
+    setting for adversarially chained duplicate graphs, where plain
+    min-label propagation needs O(d) rounds (a 200-link chain:
+    ~7 star rounds vs 200; pytest-asserted). Labels are identical to
+    the default algorithm (fuzz-asserted on random graphs)."""
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r} (label | star)")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().localCheckpoint()
+    if algorithm == "star":
+        return _star_components(sym, max_iter)
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -313,4 +328,88 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star over a SYMMETRIC edge set →
+    (node, component). Each operation rewires neighbors to the
+    neighborhood minimum m(u) = min({u} ∪ Γ(u)):
+
+      large-star: for every u, edge (v, m(u)) for each neighbor v > u
+      small-star: for every u, edge (v, m(u)) for each neighbor v ≤ u,
+                  plus (u, m(u)) — keeping u attached to its minimum
+
+    Both preserve connectivity and only ever decrease the (sorted)
+    edge multiset, so the alternation converges — to a forest of
+    min-centered stars — in O(log d) rounds (Kiveris et al.). The
+    fixpoint check compares canonical (min, max) edge sets via two
+    anti-joins on the round's localCheckpoint — no data collected.
+    """
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+
+    def canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
+
+    def neighborhood_min(e_sym: DataFrame) -> DataFrame:
+        return e_sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def resym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        ).distinct()
+
+    cur = canon(sym.select(F.col("u").alias("a"), F.col("v").alias("b"))).localCheckpoint()
+    for _ in range(max_iter):
+        s = resym(cur)
+        m = neighborhood_min(s)
+        large = (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        kept = (
+            s.join(m, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = canon(large.union(kept).filter(F.col("a") != F.col("b")))
+        # small-star over the large-star output
+        s2 = resym(e1)
+        m2 = neighborhood_min(s2)
+        small = (
+            s2.join(m2, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        self_edge = m2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        nxt = canon(
+            small.union(self_edge).filter(F.col("a") != F.col("b"))
+        ).localCheckpoint()
+        changed = (
+            nxt.join(cur, ["a", "b"], "left_anti").count()
+            + cur.join(nxt, ["a", "b"], "left_anti").count()
+        )
+        cur = nxt
+        if changed == 0:
+            # fixpoint: a forest of min-centered stars — every edge is
+            # (member, component-min); centers label themselves
+            labels = cur.select(F.col("b").alias("node2"), F.col("a")).groupBy(
+                F.col("node2")
+            ).agg(F.min("a").alias("component"))
+            return (
+                nodes.join(labels, nodes["node"] == labels["node2"], "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("component"), F.col("node")).alias("component"),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components(algorithm='star') did not converge in "
+        f"{max_iter} rounds — raise max_iter"
     )

@@ -539,6 +539,49 @@ def test_connected_components_semantics(spark):
         connected_components(df, max_iter=2)
 
 
+def test_star_components_fuzz_and_depth(spark):
+    """algorithm='star' must label exactly like the default min-label
+    propagation on random graphs, and must converge on a 120-link
+    chain within rounds where label propagation provably cannot
+    (O(log d) vs O(d))."""
+    from semantic_search_engine_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(20260819)
+    for trial in range(4):
+        n = int(rng.integers(10, 40))
+        n_edges = int(rng.integers(5, 50))
+        nodes = rng.choice(500, size=n, replace=False)
+        edges = [
+            (int(nodes[rng.integers(n)]), int(nodes[rng.integers(n)]))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            int(r["node"]): int(r["component"])
+            for r in connected_components(df, algorithm="label").collect()
+        }
+        got = {
+            int(r["node"]): int(r["component"])
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert got == want, trial
+    # depth: a 120-link chain needs ~120 label rounds but only O(log)
+    # star rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    got = {
+        int(r["node"]): int(r["component"])
+        for r in connected_components(chain, algorithm="star", max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(121)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, algorithm="label", max_iter=12)
+
+
 def test_unigram_logprob_semantics(spark):
     """unigram_logprob must equal the brute-force corpus-unigram LM on
     handcrafted docs: rare tokens drag the mean down, the empty doc
