@@ -1030,7 +1030,7 @@ SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens, round(avg(dl
         "token_counts": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         "bpe_token_counts": f"""
 SELECT doc_id, len({tok})::BIGINT AS n_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+       len(regexp_extract_all(lower(text), '{textstats.BPE_SPAN_RE}'))::BIGINT AS n_bpe_tokens
 FROM documents
 """,
         "quality_scores": f"""

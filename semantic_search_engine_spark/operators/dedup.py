@@ -367,18 +367,15 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         s = resym(cur)
         m = neighborhood_min(s)
-        large = (
+        # large-star phase: rewire EVERY neighbor of u to m(u) — the
+        # v>u / v≤u split of the textbook statement is two
+        # complementary filters over the same join whose union is
+        # exactly this one select
+        e1 = canon(
             s.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
-        kept = (
-            s.join(m, "u")
-            .filter(F.col("v") <= F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        )
-        e1 = canon(large.union(kept).filter(F.col("a") != F.col("b")))
         # small-star over the large-star output
         s2 = resym(e1)
         m2 = neighborhood_min(s2)
@@ -391,9 +388,11 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
         nxt = canon(
             small.union(self_edge).filter(F.col("a") != F.col("b"))
         ).localCheckpoint()
+        # fixpoint probe in ONE job: both sides are distinct canonical
+        # sets, so multiplicity 2 in the union ⇔ present in both
         changed = (
-            nxt.join(cur, ["a", "b"], "left_anti").count()
-            + cur.join(nxt, ["a", "b"], "left_anti").count()
+            nxt.union(cur).groupBy("a", "b").count()
+            .filter(F.col("count") != 2).count()
         )
         cur = nxt
         if changed == 0:

@@ -776,7 +776,12 @@ def search_index_phrase(
         # driven subset decode below stays the path for single-use
         # terms, where it is strictly cheaper; at mega-batch width the
         # vocabulary repeats heavily and re-selecting overlapping block
-        # subsets per query was the kernel's hot spot.
+        # subsets per query was the kernel's hot spot. SIZE GUARD: a
+        # subset decode touches ≥1 block per use, so full decode (B
+        # blocks) can only pay off when B is within a small multiple of
+        # the term's use count — without it, two queries sharing one
+        # stop-word would decode the index's largest positions stream
+        # fully and pin it in full_cache (the small-batch anti-case).
         from collections import Counter
 
         use_counts = Counter(t for _, _, ws, _, _ in known_plan for t in set(ws))
@@ -785,6 +790,11 @@ def search_index_phrase(
             if t not in full_cache:
                 full_cache[t] = decode_rows(by_term[t])
             return full_cache[t]
+
+        def prefer_full(t: str) -> bool:
+            return t in full_cache or (
+                use_counts[t] >= 2 and len(by_term[t]) <= 8 * use_counts[t]
+            )
 
         outs = []
         for qid, k, words, gap, uo in known_plan:
@@ -804,7 +814,7 @@ def search_index_phrase(
             for t in order_t[1:]:
                 if cands.size == 0:
                     break
-                if use_counts[t] >= 2 or t in full_cache:
+                if prefer_full(t):
                     data[t] = full_decode(t)
                     cands = np.intersect1d(cands, data[t][0], assume_unique=True)
                     continue

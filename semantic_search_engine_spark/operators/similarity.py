@@ -377,24 +377,8 @@ class LocalIVFProbe:
             )
             ids_all = t.column(self.id_col).to_numpy()
             bk = t.column("bucket").to_numpy()
-            # per-chunk values-buffer views (no combine_chunks/flatten
-            # copies — the list arrays are null-free fixed-width rows).
-            # `.values` ignores a sliced chunk's offset/length, which
-            # would silently misalign vectors with ids — take the view
-            # only when the chunk provably covers its full values
-            # buffer, else fall back to flatten() (offset-correct copy)
-            dim = self.centroids.shape[1]
-            chunks = [
-                (
-                    ch.values
-                    if ch.offset == 0 and ch.null_count == 0 and len(ch.values) == len(ch) * dim
-                    else ch.flatten()
-                ).to_numpy(zero_copy_only=False)
-                for ch in t.column(self.vec_col).chunks
-            ]
-            flat = np.concatenate(chunks) if chunks else np.empty(0, np.float32)
-            m_all = flat.astype(np.float64).reshape(len(ids_all), -1) if len(ids_all) else (
-                np.empty((0, self.centroids.shape[1]))
+            m_all = _flat_fixed_width(
+                t.column(self.vec_col), self.centroids.shape[1], np.float64
             )
             if len(ids_all):
                 m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
@@ -430,6 +414,8 @@ class LocalIVFProbe:
         probes and ``IVFIndex.search_batch``'s Spark job: right for
         10-1000-query batches in a serving process."""
         qm = np.asarray(query_vecs, dtype=np.float64)
+        if qm.size == 0:
+            return []
         if qm.ndim == 1:
             qm = qm[None, :]
         qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -495,6 +481,56 @@ def adc_expr(codebooks: np.ndarray, query_vec: list[float], codes_col: str = "co
         lambda acc, s: acc
         + F.element_at(F.element_at(tbl, s), F.element_at(F.col(codes_col), s) + 1),
     )
+
+
+def _flat_fixed_width(list_column, width: int, dtype) -> np.ndarray:
+    """Flatten a pyarrow list column of fixed-width, null-free rows
+    into an (n, width) matrix. ``.values`` ignores a sliced chunk's
+    offset/length — which would silently misalign rows with their ids
+    — so the zero-copy view is taken only when the chunk provably
+    covers its full values buffer, else ``flatten()`` (offset-correct
+    copy). Shared by every local probe that reads a list column."""
+    chunks = [
+        (
+            ch.values
+            if ch.offset == 0 and ch.null_count == 0 and len(ch.values) == len(ch) * width
+            else ch.flatten()
+        ).to_numpy(zero_copy_only=False)
+        for ch in list_column.chunks
+    ]
+    flat = np.concatenate(chunks) if chunks else np.empty(0, dtype)
+    n = flat.size // width if width else 0
+    return flat.reshape(n, width).astype(dtype)
+
+
+def _adc_topk(
+    ids: np.ndarray, codes: np.ndarray, codebooks: np.ndarray,
+    query_vec, k: int,
+) -> list[tuple[int, float]]:
+    """ADC gather-sum + (adc desc, id asc) top-k — the ONE local ADC
+    kernel, shared by the PQ and IVF-PQ probes. The lookup tables are
+    the same driver-side float64 matmul ``adc_expr`` inlines as
+    literals, and segments accumulate in the same order as the JVM
+    ``aggregate`` fold, so scores are bit-identical to the distributed
+    ADC column."""
+    if ids.size == 0:
+        return []
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    nseg, _, dseg = codebooks.shape
+    table = np.stack(
+        [q[s * dseg:(s + 1) * dseg] @ codebooks[s].T for s in range(nseg)]
+    )
+    adc = np.zeros(ids.size, dtype=np.float64)
+    for s in range(nseg):  # sequential fold — the JVM aggregate's order
+        adc += table[s][codes[:, s]]
+    if adc.size > k:
+        kth = np.partition(adc, adc.size - k)[adc.size - k]
+        sel = np.flatnonzero(adc >= kth)
+    else:
+        sel = np.arange(adc.size)
+    order = sel[np.lexsort((ids[sel], -adc[sel]))][:k]
+    return [(int(ids[i]), float(adc[i])) for i in order]
 
 
 class PQIndex:
@@ -644,52 +680,34 @@ class LocalPQProbe:
     asc) top-k matches ``adc_scores``' ordering exactly
     (pytest-asserted)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, arrow_threads: int | None = None):
         import json
         import os
 
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
+        # same OMP_NUM_THREADS=1 guard as the sibling probes — this is
+        # the probe that reads the MOST at startup (the whole code
+        # table), so a one-thread compute pool hurts it worst
+        want = arrow_threads or min(8, os.cpu_count() or 8)
+        if pa.cpu_count() < want:
+            pa.set_cpu_count(want)
         with open(os.path.join(path, "codebooks.json")) as f:
             meta = json.load(f)
         self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
         self.id_col = meta["id_col"]
         t = ds.dataset(os.path.join(path, "codes"), format="parquet").to_table()
         self.ids = t.column(self.id_col).to_numpy()
-        nseg = self.codebooks.shape[0]
-        codes_col = t.column("codes")
-        chunks = [
-            (
-                ch.values
-                if ch.offset == 0 and ch.null_count == 0
-                and len(ch.values) == len(ch) * nseg
-                else ch.flatten()
-            ).to_numpy(zero_copy_only=False)
-            for ch in codes_col.chunks
-        ]
-        flat = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
-        self.codes = flat.reshape(len(self.ids), nseg).astype(np.int64)
+        self.codes = _flat_fixed_width(
+            t.column("codes"), self.codebooks.shape[0], np.int64
+        )
 
     def search(self, query_vec: list[float], k: int = 10) -> list[tuple[int, float]]:
         """[(id, adc)] — ADC top-k under (adc desc, id asc), identical
         rows to ``PQIndex.adc_scores(q).orderBy(desc adc, id)`` for
         this (query, k)."""
-        q = np.asarray(query_vec, dtype=np.float64)
-        q = q / np.linalg.norm(q)
-        nseg, _, dseg = self.codebooks.shape
-        table = np.stack(
-            [q[s * dseg:(s + 1) * dseg] @ self.codebooks[s].T for s in range(nseg)]
-        )
-        adc = np.zeros(len(self.ids), dtype=np.float64)
-        for s in range(nseg):  # sequential fold — the JVM aggregate's order
-            adc += table[s][self.codes[:, s]]
-        if adc.size > k:
-            kth = np.partition(adc, adc.size - k)[adc.size - k]
-            sel = np.flatnonzero(adc >= kth)
-        else:
-            sel = np.arange(adc.size)
-        order = sel[np.lexsort((self.ids[sel], -adc[sel]))][:k]
-        return [(int(self.ids[i]), float(adc[i])) for i in order]
+        return _adc_topk(self.ids, self.codes, self.codebooks, query_vec, k)
 
 
 class IVFPQIndex:
@@ -842,21 +860,8 @@ class LocalIVFPQProbe:
             )
             ids_all = t.column(self.id_col).to_numpy()
             bk = t.column("bucket").to_numpy()
-            nseg = self.codebooks.shape[0]
-            chunks = [
-                (
-                    ch.values
-                    if ch.offset == 0 and ch.null_count == 0
-                    and len(ch.values) == len(ch) * nseg
-                    else ch.flatten()
-                ).to_numpy(zero_copy_only=False)
-                for ch in t.column("codes").chunks
-            ]
-            flat = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
-            codes_all = (
-                flat.reshape(len(ids_all), nseg).astype(np.int64)
-                if len(ids_all)
-                else np.empty((0, nseg), np.int64)
+            codes_all = _flat_fixed_width(
+                t.column("codes"), self.codebooks.shape[0], np.int64
             )
             order = (
                 np.argsort(bk, kind="stable") if len(ids_all) else np.empty(0, np.int64)
@@ -885,6 +890,8 @@ class LocalIVFPQProbe:
         from .lru import raised_cache_cap
 
         qm = np.asarray(query_vecs, dtype=np.float64)
+        if qm.size == 0:
+            return []
         if qm.ndim == 1:
             qm = qm[None, :]
         qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -907,21 +914,7 @@ class LocalIVFPQProbe:
         if ids.size == 0:
             return []
         codes = np.vstack([p[1] for p in parts])
-        qn = q / np.linalg.norm(q)
-        nseg, _, dseg = self.codebooks.shape
-        table = np.stack(
-            [qn[s * dseg:(s + 1) * dseg] @ self.codebooks[s].T for s in range(nseg)]
-        )
-        adc = np.zeros(ids.size, dtype=np.float64)
-        for s in range(nseg):  # sequential fold — the JVM aggregate's order
-            adc += table[s][codes[:, s]]
-        if adc.size > k:
-            kth = np.partition(adc, adc.size - k)[adc.size - k]
-            sel = np.flatnonzero(adc >= kth)
-        else:
-            sel = np.arange(adc.size)
-        order = sel[np.lexsort((ids[sel], -adc[sel]))][:k]
-        return [(int(ids[i]), float(adc[i])) for i in order]
+        return _adc_topk(ids, codes, self.codebooks, q, k)
 
 
 # ---------------------------------------------------------------- LSH

@@ -31,8 +31,10 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 # letter runs, digit runs, and single other non-space characters. This
 # is what BPE operates ON (merges only ever split within these spans),
 # so its count is the standard cheap proxy for LLM token budgeting —
-# pinned v1, identical semantics in Spark (Java regex) and DuckDB (RE2).
-BPE_SPAN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# pinned v1. The whitespace class is EXPLICIT, not \s: Java's \s
+# includes vertical tab (\x0B) while RE2's does not, so \s would make
+# Spark and the DuckDB oracle disagree on 'a\x0Bb'.
+BPE_SPAN_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]"
 
 
 def bpe_token_count_col(text_col) -> "F.Column":
