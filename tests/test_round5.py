@@ -466,15 +466,23 @@ def test_stream_ingest_positions_serves_phrases(spark, tmp_path):
     toks = tokenize(docs.orderBy("url").first()["text"])
     queries = [{"qid": 0, "query": " ".join(toks[0:2]), "k": 10}]
 
-    def served(d):
+    def served(d, **kw):
         url = {int(r["docid"]): r["url"] for r in read_docmap(spark, d).collect()}
-        rows = search_index_phrase(IndexReader(spark, d), queries).collect()
+        rows = search_index_phrase(IndexReader(spark, d), queries, **kw).collect()
         return sorted(
             (url[int(r["docid"])], round(float(r["score"]), 9)) for r in rows
         )
 
     got, want = served(idx), served(full)
     assert got and got == want
+    # the WHOLE span family must serve from the streamed generations
+    # identically: ordered slop, unordered window, and the boost
+    for kw in (
+        {"max_gap": 3},
+        {"max_gap": 4, "unordered": True},
+        {"max_gap": 4, "unordered": True, "proximity_boost": 0.5},
+    ):
+        assert served(idx, **kw) == served(full, **kw), kw
 
 
 def test_mixed_positions_append_refused(spark, tmp_path):
