@@ -128,3 +128,76 @@ def test_stream_replay_is_idempotent(spark, tmp_path_factory):
     stats = ingest_generation(docs, idx, num_shards=2, tag="stream-batch-0")  # replay
     assert stats["n_docs"] == 200
     assert len(index_store.read_generations(idx)) == 1
+
+
+def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
+    """Watermarked event-time windows: a row arriving after the
+    watermark passed its window is DROPPED (deterministically), and
+    each emitted window equals the batch aggregation over the
+    non-dropped rows. Two checkpointed availableNow runs — the
+    production restart shape: run 1 fills day 1 and commits a
+    watermark past its end (30h − 2h = 28h, STRICTLY past — a
+    watermark exactly ON a window end leaves the window live); run 2
+    brings one too-late day-1 row (window end 24h < watermark 28h →
+    dropped, visible in numRowsDroppedByWatermark) plus day-2 rows and
+    a far-future row that finalizes day 2."""
+    import datetime as dt
+
+    from semantic_search_engine_spark.streaming.analytics import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(*specs):
+        return [
+            (i, t0 + dt.timedelta(hours=h), 1, et, float(v), "{}")
+            for i, (h, et, v) in enumerate(specs)
+        ]
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_event_counts(stream, watermark_delay="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q
+
+    spark.createDataFrame(
+        rows((1, "click", 10), (2, "click", 5), (3, "buy", 7), (30, "click", 1)),
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(
+        rows((4, "click", 100), (30, "buy", 2), (200, "click", 1)), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = run()
+    dropped = sum(
+        int(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert dropped == 1  # exactly the late day-1 row
+    got = {
+        (str(r["window_start"]), r["event_type"]): (int(r["n"]), float(r["sum_value"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    d1, d2 = str(t0), str(t0 + dt.timedelta(days=1))
+    assert got[(d1, "click")] == (2, 15.0)  # WITHOUT the late 100
+    assert got[(d1, "buy")] == (1, 7.0)
+    assert got[(d2, "click")] == (1, 1.0)
+    assert got[(d2, "buy")] == (1, 2.0)
+    # the far-future window never finalized -> not emitted (append contract)
+    assert len(got) == 4
