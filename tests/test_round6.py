@@ -414,6 +414,7 @@ def test_local_index_probe_batch_equals_single(spark, pos_index6):
     want = [fresh.search(q, k=10) for q in queries]
     assert got == want
     assert len(small._cache) <= 8 and small._cache_cap == 8  # restored
+    assert small.search_batch([], k=10) == []  # empty batch, no error
 
 
 # ------------------------------------------------- repetition signals
