@@ -563,6 +563,53 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+LINE_WIDTH = 8  # tokens per derived line
+LINE_DUP_STEP = 7  # every 7th doc gets its first line appended again
+
+
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-bearing view of ``documents``: the space-separated token
+    stream re-wrapped into fixed LINE_WIDTH-token lines joined by \\n
+    (the driver corpus is byte-pinned and newline-free, so line-level
+    signals need a derived view — pure SQL over the existing text,
+    reproduced identically in the DuckDB oracle). Every LINE_DUP_STEP-th
+    doc additionally repeats its first line at the end, so the
+    duplicate-line signal is non-vacuous (>0 flagged docs) and exact."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ts = F.split(F.col("text"), " ")
+    n = F.size(ts)
+    wrapped = F.when(
+        n > 0,
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.ceil(n / F.lit(float(LINE_WIDTH)))).cast("int") - 1
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ts, i * LINE_WIDTH + 1, LINE_WIDTH)
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    first_line = F.concat_ws(" ", F.slice(ts, 1, LINE_WIDTH))
+    lined = F.when(
+        (F.col("doc_id") % LINE_DUP_STEP == 0) & (n > 0),
+        F.concat(wrapped, F.lit("\n"), first_line),
+    ).otherwise(wrapped)
+    return docs.select("doc_id", lined.alias("text"))
+
+
+def q_line_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb line-level dedup signals: per-doc duplicate-
+    line fraction + chars-in-duplicate-lines fraction over the derived
+    newline view (operators/textstats.py:line_stats — array_sort +
+    zip_with + aggregate in-doc, ONE scan, ZERO shuffles,
+    plan-asserted). The oracle recomputes both fractions via unnest →
+    per-(doc, line) GROUP BY — a different evaluation path."""
+    return textstats.line_stats(_docs_with_lines(spark, sf_dir))
+
+
 FUNNEL_QUALITY_T = 0.6  # ~median of the testdata quality distribution
 
 
@@ -832,6 +879,69 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of q_events_daily, surfaced to the driver:
+    the events table replayed through Structured Streaming
+    (readStream → withWatermark → window agg,
+    streaming/analytics.py:windowed_event_counts) with an availableNow
+    trigger and a parquet sink, then the EMITTED windows read back.
+    A far-future sentinel row rides in the same (single) source file so
+    the final watermark passes every real window's end and append mode
+    emits them all; the sentinel's own window never finalizes and is
+    filtered defensively. All real rows share that one micro-batch, so
+    the watermark is epoch during it and nothing is dropped — the
+    emitted windows must therefore equal the batch day aggregation,
+    which IS the oracle (the late-data drop contract itself is pinned
+    by tests/test_streaming_ingest.py:test_windowed_event_counts_
+    drops_late_rows, where dropping is exercised across restarts)."""
+    import datetime as dt
+
+    from semantic_search_engine_spark.streaming.analytics import windowed_event_counts
+
+    key = f"evw:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        work = tempfile.mkdtemp(prefix="ssse_evw_")
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        # ts is TIMESTAMP_NTZ in the parquet; watermarks require
+        # TIMESTAMP, and the session TZ is pinned UTC so the cast is
+        # lossless (same note as q_events_sessionize)
+        ev = _read(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(-1, mx + dt.timedelta(days=30), -1, "zzz_sentinel", 0.0, "{}")],
+            ev.schema,
+        )
+        # ONE file -> ONE micro-batch: a multi-file source could order
+        # the sentinel first and make every real row late
+        ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+        q = (
+            windowed_event_counts(
+                spark.readStream.schema(ev.schema).parquet(src),
+                window_len="1 day",
+                watermark_delay="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _WAND_CACHE[key] = work
+    res = spark.read.parquet(os.path.join(_WAND_CACHE[key], "out"))
+    return res.filter(F.col("event_type") != "zzz_sentinel").select(
+        F.to_date("window_start").alias("day"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -908,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": q_text_bigrams,
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
+        "line_dup_stats": q_line_dup_stats,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
         "dedup_exact": q_dedup_exact,
@@ -931,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_ranks": q_customer_order_ranks,
         "orders_topk": q_orders_topk,
         "events_daily": q_events_daily,
+        "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "brand_revenue": q_brand_revenue,
         "supplier_nation_region": q_supplier_nation_region,
@@ -1000,6 +1112,14 @@ tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 h AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) AS h FROM tf),
 s AS (SELECT doc_id, {s_terms} FROM h GROUP BY 1)
 SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM s
+"""
+
+
+_EVENTS_DAILY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*)::BIGINT AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
 
@@ -1094,6 +1214,39 @@ SELECT d.doc_id,
        coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
        coalesce(pd.mean_logprob, 0.0)::DOUBLE AS mean_logprob
 FROM documents d LEFT JOIN pd USING (doc_id)
+""",
+        "line_dup_stats": f"""
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+lt AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) > 0 THEN array_to_string(
+           list_transform(range(0, CAST(ceil(len(ts) / {float(LINE_WIDTH)}) AS INT)),
+                          i -> array_to_string(list_slice(ts, i * {LINE_WIDTH} + 1, i * {LINE_WIDTH} + {LINE_WIDTH}), ' ')),
+           chr(10)) ELSE '' END AS wrapped,
+         array_to_string(list_slice(ts, 1, {LINE_WIDTH}), ' ') AS first_line,
+         len(ts) AS n
+  FROM ts
+),
+lv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {LINE_DUP_STEP} = 0 AND n > 0
+              THEN wrapped || chr(10) || first_line ELSE wrapped END AS t
+  FROM lt
+),
+ln AS (SELECT doc_id, unnest(list_filter(string_split(t, chr(10)), l -> l <> '')) AS line FROM lv),
+pc AS (SELECT doc_id, line, count(*)::BIGINT AS c FROM ln GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS m,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup,
+         sum(c * length(line))::BIGINT AS tot_chars,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::BIGINT AS dup_chars
+  FROM pc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.m, 0)::BIGINT AS n_lines,
+       coalesce(round(a.dup::DOUBLE / a.m, 6), 0.0)::DOUBLE AS dup_line_frac,
+       coalesce(round(a.dup_chars::DOUBLE / nullif(a.tot_chars, 0), 6), 0.0)::DOUBLE AS dup_char_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         "corpus_filter_funnel": f"""
 WITH crawl AS (
@@ -1298,12 +1451,10 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn::INT AS rn FROM r WHERE rn <= 3
         "orders_topk": """
 SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
-        "events_daily": """
-SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-       count(*)::BIGINT AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-FROM events GROUP BY 1, 2
-""",
+        "events_daily": _EVENTS_DAILY_SQL,
+        # the streaming entry's emitted windows ≡ the batch day agg (no
+        # row is late in its single micro-batch) — same oracle
+        "events_windowed": _EVENTS_DAILY_SQL,
         "events_sessionize": """
 WITH x AS (SELECT user_id,
                   CASE WHEN lag(ts) OVER w IS NULL

@@ -166,12 +166,17 @@ def main() -> None:
             # driver-local single-query serving (pyarrow term-filtered
             # reads + the shared scoring kernel, no Spark job). Cold =
             # fresh probe (per-query parquet reads); warm = cache
-            # resident — the reference's in-RAM loop shape.
+            # resident — the reference's in-RAM loop shape. The two
+            # cold numbers are taken on DIFFERENT reps' just-built
+            # indexes (batch on rep 0's, sequential on rep 1's) so each
+            # is the FIRST probe of its index files and neither
+            # pre-warms the other's dataset metadata / page cache —
+            # they start from the same cache state and stay comparable
+            # (at reps=1 only the batch number is recorded).
             if want("wand_local"):
                 if rep == 0:
-                    # cold BATCHED probe (one chunked union preload)
-                    # next to the cold sequential loop below — the
-                    # search_batch API's round-trip saving, measured
+                    # cold BATCHED probe (one chunked union preload) —
+                    # the search_batch API's round-trip saving, measured
                     bprobe = LocalIndexProbe(idx_dir)
                     t0 = time.perf_counter()
                     bprobe.search_batch([q["query"] for q in queries], k=10)
@@ -180,7 +185,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 for q in queries:
                     probe.search(q["query"], k=q["k"])  # warm the term cache
-                if rep == 0:
+                if rep == 1:
                     cold["cold_local_text_allq_sec"] = round(time.perf_counter() - t0, 3)
 
                 def local_all():
@@ -427,9 +432,23 @@ def main() -> None:
 
     import statistics
 
+    # row-name set is the UNION across reps, and every headline row must
+    # have been recorded in EVERY rep — a row silently present in only
+    # some reps would otherwise drop from (or skew) the medians
+    names: list[str] = []
+    for t in rep_timings:
+        for n in t:
+            if n not in names:
+                names.append(n)
+    for n in names:
+        cnt = sum(n in t for t in rep_timings)
+        assert cnt == len(rep_timings), (
+            f"bench row {n!r} recorded in {cnt}/{len(rep_timings)} reps — "
+            "headline medians require every row in every rep"
+        )
     med = {
-        name: round(statistics.median(t[name] for t in rep_timings if name in t), 3)
-        for name in rep_timings[0]
+        name: round(statistics.median(t[name] for t in rep_timings), 3)
+        for name in names
     }
     # _cmp_ rows are comparison baselines (e.g. the positionless phrase
     # plan) — reported, but excluded from the headline suite total so

@@ -367,10 +367,18 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         s = resym(cur)
         m = neighborhood_min(s)
-        # large-star phase: rewire EVERY neighbor of u to m(u) — the
-        # v>u / v≤u split of the textbook statement is two
-        # complementary filters over the same join whose union is
-        # exactly this one select
+        # "large-star" phase, FUSED variant: rewire EVERY neighbor of u
+        # to m(u) in one select (the textbook large-star rewires only
+        # v > u; this additionally applies small-star's v ≤ u rewiring
+        # without its (u, m(u)) self-attach). Connectivity is preserved
+        # (every emitted edge stays within u's component and each v
+        # keeps a path to m(u) ≤ its old neighbor), but this fused
+        # operator is NOT one of the two operators Kiveris et al. prove
+        # monotone/convergent — the O(log d) round bound here rests on
+        # the fuzz + chain-depth pytests (test_star_components_fuzz_
+        # and_depth: 120-link chain ≤ 12 rounds, labels ≡ label-prop on
+        # random graphs), with max_iter as the loud backstop, not on
+        # the cited proof.
         e1 = canon(
             s.join(m, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))

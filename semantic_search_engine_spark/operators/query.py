@@ -34,6 +34,7 @@ heap, the global window the final heapq.nlargest.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -47,9 +48,30 @@ from .codec import decode_block, decode_blocks_batch, decode_positions
 
 RESULT_SCHEMA = "qid int, k int, docid long, score double"
 
-# broadcasts from prior search_index_wand calls, unpersisted on the next
-# call so executor-side broadcast blocks don't accumulate across batches
+# broadcasts from prior search_index_wand / search_index_phrase calls,
+# unpersisted on the next call so executor-side broadcast blocks don't
+# accumulate across batches. Shared module state by design (the
+# steady-state serving loop is one batch at a time): unpersisting is
+# PERF-only — a still-referenced result DataFrame from an earlier batch
+# lazily re-broadcasts from the driver, so collect earlier batches
+# before issuing the next to avoid the refetch. The lock makes the
+# pop/append sequence safe for concurrent driver threads.
 _LIVE_PLAN_BROADCASTS: list = []
+_PLAN_BC_LOCK = threading.Lock()
+
+
+def _rotate_plan_broadcast(spark: SparkSession, payload) -> "object":
+    """Unpersist prior plan broadcasts (not destroy — see note above)
+    and register a new one, atomically under the module lock."""
+    with _PLAN_BC_LOCK:
+        while _LIVE_PLAN_BROADCASTS:
+            try:
+                _LIVE_PLAN_BROADCASTS.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+        bc = spark.sparkContext.broadcast(payload)
+        _LIVE_PLAN_BROADCASTS.append(bc)
+    return bc
 
 
 class IndexReader:
@@ -232,18 +254,11 @@ def search_index_wand(
     # ship the query plan + idf map as a broadcast variable (cached once
     # per executor) rather than a UDF closure (re-shipped per task) —
     # matters once the batch reaches 10^5+ queries. Previous calls'
-    # broadcasts are unpersisted here (NOT destroyed: a still-alive
-    # DataFrame from an earlier call can lazily refetch from the
-    # driver), so repeated batches in a long-lived session keep at most
-    # one plan broadcast resident on executors.
-    while _LIVE_PLAN_BROADCASTS:
-        try:
-            _LIVE_PLAN_BROADCASTS.pop().unpersist(blocking=False)
-        except Exception:
-            pass
+    # broadcasts are unpersisted (see _LIVE_PLAN_BROADCASTS), so
+    # repeated batches in a long-lived session keep at most one plan
+    # broadcast resident on executors.
     avgdl = float(reader.stats["avgdl"])
-    bc = spark.sparkContext.broadcast((known_plan, idf_map, avgdl))
-    _LIVE_PLAN_BROADCASTS.append(bc)
+    bc = _rotate_plan_broadcast(spark, (known_plan, idf_map, avgdl))
 
     # Bundle shards into at most ~4×parallelism task groups: shards are
     # docid-disjoint, so any union of whole shards is a valid WAND unit
@@ -421,6 +436,35 @@ def _phrase_survivors(cands: np.ndarray, words: list[str], data: dict) -> np.nda
     return cands[np.unique(keys // M)]
 
 
+def _interval_max(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """max(vals[lo[i]:hi[i]]) per query interval, -1 where empty —
+    vectorized sparse-table range-maximum. Build is O(n log n), the
+    queries are O(1) each via the classic two-overlapping-powers-of-two
+    lookup, so total cost is independent of the interval WIDTH (the
+    property the proximity-boost chain filter needs: its windows are
+    max_gap wide, and a per-offset probe would pay O(max_gap) passes)."""
+    res = np.full(lo.size, -1, dtype=np.int64)
+    n = vals.size
+    ok = hi > lo
+    if n == 0 or not ok.any():
+        return res
+    levels = [vals]
+    j = 1
+    while (1 << j) <= n:
+        prev, half = levels[-1], 1 << (j - 1)
+        m = n - (1 << j) + 1
+        levels.append(np.maximum(prev[:m], prev[half : half + m]))
+        j += 1
+    # floor(log2(len)) exactly: frexp exponent − 1 (exact for int lens)
+    lg = np.zeros(lo.size, dtype=np.int64)
+    lg[ok] = np.frexp((hi - lo)[ok].astype(np.float64))[1] - 1
+    for g in np.unique(lg[ok]):
+        m = ok & (lg == g)
+        L = levels[g]
+        res[m] = np.maximum(L[lo[m]], L[hi[m] - (1 << int(g))])
+    return res
+
+
 def _chain_survivors(
     cands: np.ndarray, words: list[str], data: dict, max_gap: int,
     with_slack: bool = False,
@@ -444,8 +488,9 @@ def _chain_survivors(
     key (span = end − start, so the tightest chain ending at a key is
     the one with the latest start; any chain decomposes through a
     predecessor, so the per-key max is exact), then a per-doc min over
-    final keys — one searchsorted per gap offset, still no per-doc
-    loop."""
+    final keys — the per-key predecessor max is a windowed range-max
+    over [key−max_gap, key) (:func:`_interval_max`), so the cost is
+    independent of ``max_gap``, same as the unboosted path."""
     empty = np.empty(0, dtype=np.int64)
     if cands.size == 0 or not words:
         return (cands, empty.copy()) if with_slack else cands
@@ -476,16 +521,15 @@ def _chain_survivors(
             hi = np.searchsorted(survivors, q)  # predecessors strictly below q
             survivors = q[hi > lo]
         else:
-            # exact-key predecessor probe per gap offset g∈[1,max_gap]:
-            # q−g below a doc's key range cannot alias another doc
-            # (positions < M − max_gap − 2, same non-aliasing argument
-            # as the window above)
-            best = np.full(q.size, -1, dtype=np.int64)
-            for g in range(1, max_gap + 1):
-                pos_ = np.searchsorted(survivors, q - g)
-                vi = np.flatnonzero(pos_ < survivors.size)
-                match = vi[survivors[pos_[vi]] == q[vi] - g]
-                best[match] = np.maximum(best[match], starts[pos_[match]])
+            # predecessor window [q−max_gap, q): the windowed MAX of
+            # chain starts over it, one sparse-table range-max — cost
+            # independent of max_gap (a NEAR/50 boost query pays the
+            # same as NEAR/2). q−max_gap below a doc's key range cannot
+            # alias another doc (positions < M − max_gap − 2, same
+            # non-aliasing argument as the unboosted window above).
+            lo = np.searchsorted(survivors, q - max_gap)
+            hi = np.searchsorted(survivors, q)
+            best = _interval_max(starts, lo, hi)
             keep = best >= 0
             survivors, starts = q[keep], best[keep]
     if survivors.size == 0:
@@ -718,14 +762,8 @@ def search_index_phrase(
     used = sorted({t for _, _, ws, _, _ in known_plan for t in ws})
     # plan + idf map as a broadcast (cached once per executor), not a
     # UDF closure (re-shipped per task) — the WAND path's pattern incl.
-    # the unpersist-previous-calls discipline above
-    while _LIVE_PLAN_BROADCASTS:
-        try:
-            _LIVE_PLAN_BROADCASTS.pop().unpersist(blocking=False)
-        except Exception:
-            pass
-    bc = spark.sparkContext.broadcast((known_plan, idf_map, avgdl))
-    _LIVE_PLAN_BROADCASTS.append(bc)
+    # the unpersist-previous-calls discipline (_LIVE_PLAN_BROADCASTS)
+    bc = _rotate_plan_broadcast(spark, (known_plan, idf_map, avgdl))
 
     per_cpu = int(os.environ.get("SSSE_WAND_GROUPS_PER_CPU", "4"))
     n_groups = per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions"))

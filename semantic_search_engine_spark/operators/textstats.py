@@ -301,6 +301,78 @@ def unigram_logprob(
     )
 
 
+def line_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_char_frac) — Gopher/RefinedWeb
+    LINE-level dedup signals over newline-bearing text:
+    ``dup_line_frac`` = fraction of (non-empty) lines whose exact text
+    appears more than once in the document; ``dup_char_frac`` = the
+    fraction of line characters belonging to those duplicated lines.
+    High values flag boilerplate (nav bars, repeated footers, SEO spam)
+    that token-level n-gram repetition misses — the one published
+    quality axis the repetition family didn't cover.
+
+    100-TB shape: same as :func:`repetition_stats` — per-doc signals
+    must not shuffle, so this is ONE scan→project with ZERO shuffles
+    (plan-asserted): split on newline, ``array_sort`` in-doc,
+    equal-neighbor flags from one ``zip_with`` over the shifted self,
+    duplicate occurrences and their character mass from linear
+    ``aggregate`` scans — all codegen, no explode, no groupBy. The
+    DuckDB oracle recomputes both fractions through unnest →
+    per-(doc, line) GROUP BY — a different evaluation path. Fractions
+    round to 6 dp; docs with zero non-empty lines report (0, 0.0, 0.0).
+    Empty lines are excluded (a blank-line run is formatting, not
+    duplicated content)."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
+    s = F.array_sort(lines)
+    m = F.size(s)
+    eq = F.when(
+        m >= 2,
+        F.zip_with(F.slice(s, 1, m - 1), F.slice(s, 2, m - 1), lambda a, b: a == b),
+    ).otherwise(F.array().cast("array<boolean>"))
+    is_dup = lambda i: (
+        F.coalesce(F.get(eq, i - 2), F.lit(False))
+        | F.coalesce(F.get(eq, i - 1), F.lit(False))
+    )
+    dup_occ = F.when(
+        m >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0),
+            lambda acc, i: acc + F.when(is_dup(i), F.lit(1)).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.lit(0))
+    dup_chars = F.when(
+        m >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(is_dup(i), F.length(F.get(s, i - 1)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    tot_chars = F.aggregate(
+        s, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    md = m.cast("double")
+    return docs.select(
+        F.col(id_col),
+        m.cast("long").alias("n_lines"),
+        F.when(m > 0, F.round(dup_occ.cast("double") / md, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(
+            (m > 0) & (tot_chars > 0),
+            F.round(dup_chars.cast("double") / tot_chars.cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_char_frac"),
+    )
+
+
 def filter_funnel(
     docs: DataFrame,
     quality_threshold: float = 0.5,
