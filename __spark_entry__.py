@@ -180,6 +180,34 @@ def q_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_wand(spark, _WAND_CACHE[key])
 
 
+def q_bm25_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered LSM compaction end-to-end: FOUR micro-batch generations
+    ingested with finalize=False, size-tiered compaction at tier_k=2
+    (the 4 equal generations cascade through 3 merges into one merged
+    generation — merged generations re-merge, the LSM invariant), then
+    ONE finalize; the same WAND query must hash-match the all-at-once
+    oracle. Proves the merge preserves posting payloads, docids, and
+    docmaps exactly (operators/build.py:compact_generations)."""
+    from semantic_search_engine_spark.operators.build import (
+        compact_generations,
+        finalize_index,
+        ingest_generation,
+    )
+
+    key = f"cmpct:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        d = tempfile.mkdtemp(prefix="ssse_cmpct_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        for i in range(4):
+            ingest_generation(
+                docs.filter(F.col("url") % 4 == i), d, num_shards=2, finalize=False
+            )
+        compact_generations(spark, d, tier_k=2)
+        finalize_index(spark, d)
+        _WAND_CACHE[key] = d
+    return _serve_wand(spark, _WAND_CACHE[key])
+
+
 def q_bm25_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: only docs containing every distinct
     query term — posting intersection as a countDistinct group-guard."""
@@ -1008,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_boosted_topk": q_bm25_near_boosted_topk,
         "bm25_near_unordered_topk": q_bm25_near_unordered_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
+        "bm25_compacted_topk": q_bm25_compacted_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
         "token_counts": q_token_counts,
@@ -1139,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_near_boosted_topk": _bm25_near_boosted_oracle(BM25_K),
         "bm25_near_unordered_topk": _bm25_near_unordered_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
+        "bm25_compacted_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1 ORDER BY df DESC, term LIMIT 30

@@ -287,6 +287,18 @@ def build_segments(
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
     lo_all, hi_all = shard_base, shard_base + num_shards
+    # a compacted-away range must never be rebuilt: its manifest rows
+    # are filtered as retired, so new work there would be invisible —
+    # the one scenario is resuming a pre-compaction crashed build after
+    # someone compacted over it; fail loudly instead of losing docs
+    for c in index_store.compact_records(index_dir):
+        for lo, hi in c.get("retires", []):
+            if lo_all < int(hi) and int(lo) < hi_all:
+                raise ValueError(
+                    f"shard range [{lo_all}, {hi_all}) overlaps range "
+                    f"[{lo}, {hi}) retired by compaction {c['compact_id']} — "
+                    "retired ranges cannot be rebuilt"
+                )
     gen_range = (F.col("shard") >= lo_all) & (F.col("shard") < hi_all)
     # bundle shards into ~groups_per_cpu × parallelism Arrow groups
     # (execution knob only — shard layout, docids, and files are
@@ -423,6 +435,14 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
     seg_dir = os.path.join(index_dir, "segments")
     if os.path.isdir(seg_dir) and any(e.startswith("shard=") for e in os.listdir(seg_dir)):
         segs = index_store.read_segments(spark, index_dir)
+        # only LIVE shards: a crash window can leave unrecorded segment
+        # dirs (a killed build batch pre-commit, or a compaction's
+        # retired-but-not-yet-GC'd shards) — the manifest is the truth,
+        # so finalize semi-joins against it rather than trusting the
+        # directory listing (broadcast of shard ids — bounded)
+        segs = segs.join(
+            F.broadcast(manifest.select("shard").distinct()), "shard", "semi"
+        )
     else:
         # corpus built, but zero postings (every doc tokenized empty)
         segs = spark.createDataFrame([], SEGMENT_SCHEMA)
@@ -551,9 +571,19 @@ def ingest_generation(
         num_shards = auto_num_shards(docs)
     os.makedirs(index_dir, exist_ok=True)
     manifest = index_store.read_manifest(spark, index_dir)
-    gens = index_store.read_generations(index_dir)
+    # ingest allocation records only — compaction records share the log
+    # (they are the compaction commit points) but never resume as
+    # ingests; they DO count toward the shard high-water mark below
+    gens = index_store.ingest_records(index_dir)
+    all_records = index_store.read_generations(index_dir)
+    retired = index_store.retired_gen_bases(index_dir)
 
     def complete(g: dict) -> bool:
+        # a generation replaced by a committed compaction has no
+        # manifest rows left, but its docs ARE in the index — a tagged
+        # replay must see it as ingested, not rebuild it
+        if int(g["shard_base"]) in retired:
+            return True
         if manifest is None:
             return False
         rng = (F.col("shard") >= g["shard_base"]) & (
@@ -580,16 +610,20 @@ def ingest_generation(
         )
     if gen is None:
         # allocate from the high-water mark over BOTH committed shards
-        # (manifest) and every recorded allocation (generations log) —
-        # an incomplete generation's reserved range is never reused
+        # (manifest) and every recorded allocation (generations log,
+        # compaction records included — their merged shard ranges must
+        # never be reused) — an incomplete generation's reserved range
+        # is never reused
         shard_hwm, docid_hwm = 0, 0
         if manifest is not None:
             agg = manifest.agg(
                 F.max("last_docid").alias("d"), F.max("shard").alias("s")
             ).collect()[0]
             shard_hwm, docid_hwm = int(agg["s"]) + 1, int(agg["d"]) + 1
-        for g in gens:
+        for g in all_records:
             shard_hwm = max(shard_hwm, int(g["shard_base"]) + int(g["num_shards"]))
+            if "compact_id" in g:
+                continue  # merged shards carry existing docids only
             if "docid_ceiling" in g:
                 docid_hwm = max(docid_hwm, int(g["docid_ceiling"]))
             elif complete(g):
@@ -627,6 +661,270 @@ def ingest_generation(
         store_positions=store_positions,
     )
     return finalize_index(spark, index_dir) if finalize else None
+
+
+def _shard_hwm(spark: SparkSession, index_dir: str) -> int:
+    """First unallocated shard id: max over the live manifest AND every
+    log record (ingest or compaction — retired ranges are never
+    reused)."""
+    hwm = 0
+    manifest = index_store.read_manifest(spark, index_dir)
+    if manifest is not None:
+        s = manifest.agg(F.max("shard")).collect()[0][0]
+        if s is not None:
+            hwm = int(s) + 1
+    for g in index_store.read_generations(index_dir):
+        hwm = max(hwm, int(g["shard_base"]) + int(g["num_shards"]))
+    return hwm
+
+
+def _live_generations(spark: SparkSession, index_dir: str) -> list[dict]:
+    """[{shard_base, num_shards, n_docs}] for every live generation:
+    log records (ingest allocations and merged generations alike) not
+    retired by a committed compaction, plus the implicit BASE
+    generation — shards below the first recorded base, i.e. a
+    ``build_index`` run that predates the generation log. n_docs comes
+    from the live manifest (one bounded aggregate)."""
+    manifest = index_store.read_manifest(spark, index_dir)
+    if manifest is None:
+        return []
+    retired = index_store.retired_gen_bases(index_dir)
+    recs = {
+        (int(g["shard_base"]), int(g["num_shards"]))
+        for g in index_store.read_generations(index_dir)
+        if int(g["shard_base"]) not in retired
+    }
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in manifest.groupBy("shard").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    recorded_lo = min((b for b, _ in recs), default=None)
+    base_hi = recorded_lo if recorded_lo is not None else (max(counts) + 1 if counts else 0)
+    if base_hi > 0 and 0 not in retired and any(s < base_hi for s in counts):
+        recs.add((0, base_hi))  # pre-log build_index base generation
+    out = []
+    for base, ns in sorted(recs):
+        covered = sum(1 for s in range(base, base + ns) if s in counts)
+        if covered < ns:
+            # incomplete (crashed / still-ingesting) generation: its
+            # resume must finish before its shards can be merged away
+            continue
+        out.append(
+            {
+                "shard_base": base,
+                "num_shards": ns,
+                "n_docs": sum(counts.get(s, 0) for s in range(base, base + ns)),
+            }
+        )
+    return out
+
+
+def gc_retired(index_dir: str) -> int:
+    """Delete segment/docmap dirs of shards retired by committed
+    compactions (the post-commit cleanup; re-run on the next compaction
+    after a crash). Returns #dirs removed."""
+    ranges = [
+        (int(lo), int(hi))
+        for c in index_store.compact_records(index_dir)
+        for lo, hi in c.get("retires", [])
+    ]
+    removed = 0
+    if not ranges:
+        return 0
+    for sub in ("segments", "docmap"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if not name.startswith("shard="):
+                continue
+            s = int(name.split("=", 1)[1])
+            if any(lo <= s < hi for lo, hi in ranges):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed += 1
+    return removed
+
+
+def _merge_tier(spark: SparkSession, index_dir: str, tier: list[dict]) -> None:
+    """K-way-merge one tier's generations into a single merged
+    generation: the tier shards' segment BLOCKS are re-grouped under
+    fresh merged shard ids (whole old shards assigned contiguously in
+    docid order, balanced by doc count — block payloads are untouched
+    and docids are stable, so posting runs stay docid-sorted
+    concatenations), block_seq renumbered per (shard, term), docmaps
+    moved alongside. Cost is O(tier), never O(index) — the point of
+    tiered compaction vs finalize's full rewrite.
+
+    Commit protocol (single-writer, crash-safe at every point):
+      1. staged segments + docmap written, then promoted into place —
+         unrecorded dirs; invisible (finalize semi-joins the manifest)
+      2. manifest rows appended with batch_id ``compact-<id>`` —
+         still invisible (read_manifest drops compact rows with no
+         matching log record)
+      3. ONE log line appended: the commit — atomically retires the
+         old ranges and activates the new rows
+      4. old shard dirs GC'd (re-run on the next compaction if killed)
+    """
+    from pyspark.sql import Window as _W
+
+    manifest = index_store.read_manifest(spark, index_dir)
+    assert manifest is not None
+    ranges = [
+        (int(g["shard_base"]), int(g["shard_base"]) + int(g["num_shards"]))
+        for g in tier
+    ]
+    pred = None
+    for lo, hi in ranges:
+        p = (F.col("shard") >= lo) & (F.col("shard") < hi)
+        pred = p if pred is None else (pred | p)
+    mrows = [r.asDict() for r in manifest.filter(pred).collect()]
+    total_docs = sum(r["n_docs"] for r in mrows)
+    n_new = max(1, -(-total_docs // DOCS_PER_SHARD))
+    shard_hwm = _shard_hwm(spark, index_dir)
+    old_sorted = sorted(
+        mrows,
+        key=lambda r: (r["first_docid"] if r["n_docs"] > 0 else 2**62, r["shard"]),
+    )
+    old2new: dict[int, int] = {}
+    acc, idx = 0, 0
+    target = total_docs / n_new if total_docs else 1.0
+    for r in old_sorted:
+        old2new[int(r["shard"])] = shard_hwm + idx
+        acc += int(r["n_docs"])
+        if acc >= (idx + 1) * target and idx < n_new - 1:
+            idx += 1
+    n_used = idx + 1
+    new_ids = list(range(shard_hwm, shard_hwm + n_used))
+    compact_id = uuid.uuid4().hex[:12]
+    stage = os.path.join(index_dir, f"_stage_compact_{compact_id}")
+
+    map_df = spark.createDataFrame(
+        [(o, n) for o, n in old2new.items()], "shard int, new_shard int"
+    )
+    segs = index_store.read_segments(spark, index_dir).filter(pred)
+    has_positions = "positions_bin" in segs.columns
+    cols = [
+        "term", "block_seq", "first_docid", "last_docid", "n", "block_cf",
+        "docids_bin", "tfs_bin", "dls_bin",
+    ] + (["positions_bin"] if has_positions else [])
+    w = _W.partitionBy("new_shard", "term").orderBy("first_docid")
+    (
+        segs.join(F.broadcast(map_df), "shard")
+        .withColumn("block_seq", (F.row_number().over(w) - 1).cast("int"))
+        .select(F.col("new_shard").alias("shard"), *cols)
+        .write.partitionBy("shard")
+        .parquet(os.path.join(stage, "segments"))
+    )
+    (
+        spark.read.parquet(os.path.join(index_dir, "docmap"))
+        .filter(pred)
+        .join(F.broadcast(map_df), "shard")
+        .select(F.col("new_shard").alias("shard"), "docid", "url")
+        .write.partitionBy("shard")
+        .parquet(os.path.join(stage, "docmap"))
+    )
+    nt = {
+        int(r["shard"]): int(r["nt"])
+        for r in spark.read.parquet(os.path.join(stage, "segments"))
+        .groupBy("shard")
+        .agg(F.countDistinct("term").alias("nt"))
+        .collect()
+    }
+    index_store.promote_staged(stage, index_dir, ("segments", "docmap"), new_ids)
+
+    per: dict[int, dict] = {
+        n: {
+            "shard": n, "n_docs": 0, "sum_dl": 0, "n_terms": nt.get(n, 0),
+            "n_blocks": 0, "n_postings": 0, "payload_bytes": 0,
+            "first_docid": -1, "last_docid": -1,
+            "batch_id": f"compact-{compact_id}",
+        }
+        for n in new_ids
+    }
+    for r in mrows:
+        b = per[old2new[int(r["shard"])]]
+        b["n_docs"] += int(r["n_docs"])
+        b["sum_dl"] += int(r["sum_dl"])
+        b["n_blocks"] += int(r["n_blocks"])
+        b["n_postings"] += int(r["n_postings"])
+        b["payload_bytes"] += int(r["payload_bytes"])
+        if r["n_docs"] > 0:
+            fd, ld = int(r["first_docid"]), int(r["last_docid"])
+            b["first_docid"] = fd if b["first_docid"] < 0 else min(b["first_docid"], fd)
+            b["last_docid"] = max(b["last_docid"], ld)
+    index_store.append_manifest(spark, index_dir, [per[n] for n in new_ids])
+    # THE commit point: one appended log line retires the old ranges
+    # and activates the compact-<id> manifest rows
+    index_store.append_generation(
+        index_dir,
+        {
+            "compact_id": compact_id,
+            "shard_base": shard_hwm,
+            "num_shards": n_used,
+            "retires": [[lo, hi] for lo, hi in ranges],
+            "retires_gen_bases": [int(g["shard_base"]) for g in tier],
+        },
+    )
+    gc_retired(index_dir)
+
+
+def compact_generations(
+    spark: SparkSession,
+    index_dir: str,
+    tier_k: int = 4,
+    max_merges: int | None = None,
+) -> int:
+    """Size-tiered LSM compaction: while any size class holds ≥
+    ``tier_k`` live generations, k-way-merge the ``tier_k`` smallest of
+    that class into one merged generation (class = how many times
+    n_docs divides by ``tier_k`` — the classic size-tiering, so a
+    merged generation climbs one class and live-generation count stays
+    O(tier_k · log(total/batch))). Each merge touches ONLY the tier's
+    shards — O(tier) I/O, vs :func:`finalize_index`'s O(index) full
+    rewrite — which is what bounds probe read amplification (postings
+    fragment count) under continuous micro-batch ingest: ingest with
+    ``finalize=False``, compact, finalize once per serving snapshot.
+
+    Returns the number of merges performed. Results are serving-
+    identical to an uncompacted (or all-at-once-built) index because
+    block payloads and docids never change — only their grouping into
+    shard files — and finalize recomputes all global stats either way
+    (pytest + oracle-asserted). Single-writer, like ingest; see
+    :func:`_merge_tier` for the per-merge crash-safety protocol. A
+    crashed compaction leaves only invisible garbage (staged dirs,
+    orphaned ``compact-*`` manifest rows) that this function GCs on
+    its next run."""
+    if tier_k < 2:
+        raise ValueError(f"tier_k must be >= 2, got {tier_k}")
+    # recovery: leftover stage dirs + retired dirs from a killed run
+    for name in os.listdir(index_dir):
+        if name.startswith("_stage_compact_"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    gc_retired(index_dir)
+    merges = 0
+    while max_merges is None or merges < max_merges:
+        gens = _live_generations(spark, index_dir)
+        if len(gens) < tier_k:
+            break
+        by_class: dict[int, list[dict]] = {}
+        for g in gens:
+            c, n = 0, max(int(g["n_docs"]), 1)
+            while n >= tier_k:
+                n //= tier_k
+                c += 1
+            by_class.setdefault(c, []).append(g)
+        tier = None
+        for c in sorted(by_class):
+            if len(by_class[c]) >= tier_k:
+                tier = sorted(
+                    by_class[c], key=lambda g: (g["n_docs"], g["shard_base"])
+                )[:tier_k]
+                break
+        if tier is None:
+            break
+        _merge_tier(spark, index_dir, tier)
+        merges += 1
+    return merges
 
 
 def append_index(

@@ -183,6 +183,7 @@ def search_index_wand(
     theta_factor: float = 1.0,
     keep_boundary_ties: bool = False,
     distributed_idf: bool | None = None,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """(qid, rank, docid, score) via per-shard block-max pruning.
 
@@ -225,7 +226,29 @@ def search_index_wand(
     of the map from the group's own columns. Results are identical to
     the collected path (pytest-asserted); per-query OOV handling moves
     into the kernel, where a term with no postings in any group simply
-    contributes no blocks."""
+    contributes no blocks.
+
+    ``vectorized`` (default: auto at ≥ ``SSSE_WAND_VECTORIZE_MIN``
+    queries, 512; exact pruning only) switches each shard-group kernel
+    from the per-query WAND loop to one CROSS-QUERY NumPy pass: all the
+    group's blocks decode in a single vectorized call, per-posting
+    impacts are computed ONCE for the whole batch, and query chunks
+    score through per-term scatter-adds into a (docs × queries) matrix
+    with per-column top-k selection. At mega-batch width nearly every
+    term's blocks are needed by SOME query, so block-max pruning saves
+    little while per-(query, group) Python bookkeeping dominates — the
+    measured 10⁴-query ceiling. Row- and score-IDENTICAL to the loop
+    path (pytest-asserted): scatter-adds run in sorted-term order, the
+    same float64 accumulation sequence as ``_score_candidates``, and
+    the θ=1.0 WAND bound guarantees the loop path's pruned candidates
+    can never reach the top-k boundary. Requires ``theta_factor=1.0``
+    (the approximate mode is a pruning dial, which this path has no
+    analog for)."""
+    if vectorized and theta_factor != 1.0:
+        raise ValueError(
+            "vectorized scoring is exhaustive-exact and has no analog of "
+            f"the theta_factor pruning dial (got {theta_factor})"
+        )
     if keep_boundary_ties and theta_factor != 1.0:
         raise ValueError(
             "keep_boundary_ties guarantees every possible tie-break survivor "
@@ -251,6 +274,10 @@ def search_index_wand(
         known_plan = [(q, k, ts) for q, k, ts in known_plan if ts]
     if not known_plan:
         return _empty_result(spark)
+    if vectorized is None:
+        vectorized = theta_factor == 1.0 and len(known_plan) >= int(
+            _os.environ.get("SSSE_WAND_VECTORIZE_MIN", "512")
+        )
     # ship the query plan + idf map as a broadcast variable (cached once
     # per executor) rather than a UDF closure (re-shipped per task) —
     # matters once the batch reaches 10^5+ queries. Previous calls'
@@ -392,7 +419,118 @@ def search_index_wand(
             )
         return pd.concat(outs)
 
-    local = blocks.groupBy("_qgroup").applyInPandas(wand_shard, RESULT_SCHEMA)
+    def wand_shard_vec(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Cross-query vectorized scorer (mega-batch mode): one decode +
+        one impact pass for the whole group, then chunked (docs ×
+        queries) scatter-add scoring. Sorted-term add order keeps the
+        float64 accumulation sequence identical to _score_candidates,
+        so rows AND scores match the loop kernel bit-for-bit."""
+        known_plan, idf_map, avgdl = bc.value
+        if idf_map is None:  # distributed idf: rebuild this group's slice
+            idf_map = {
+                t: float(v) for t, v in zip(pdf["term"].to_numpy(), pdf["idf"].to_numpy())
+            }
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in
+             [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]}
+        )
+        if len(pdf) == 0:
+            return empty
+        # blocks sorted by term -> each term's postings are one
+        # contiguous slice of the concatenated decode below
+        pdf = pdf.sort_values("term", kind="stable", ignore_index=True)
+        ns = pdf["n"].to_numpy()
+        d_all, tf_all, dl_all, _ = decode_blocks_batch(
+            pdf["first_docid"].to_numpy(), ns,
+            pdf["docids_bin"], pdf["tfs_bin"], pdf["dls_bin"],
+        )
+        terms_arr = pdf["term"].to_numpy()
+        idf_rep = np.repeat(
+            np.array([idf_map[t] for t in terms_arr], dtype=np.float64), ns
+        )
+        imp_all = impact_np(tf_all, dl_all, idf_rep, avgdl)
+        D = np.unique(d_all)  # dense doc axis of the score matrix
+        row_all = np.searchsorted(D, d_all)
+        post_off = np.concatenate([[0], np.cumsum(ns)]).astype(np.int64)
+        blk_new = np.concatenate([[True], terms_arr[1:] != terms_arr[:-1]])
+        t_first = np.flatnonzero(blk_new)
+        t_start = post_off[t_first]
+        t_end = np.concatenate([t_start[1:], [post_off[-1]]])
+        term_slice = {
+            t: (int(s), int(e))
+            for t, s, e in zip(terms_arr[t_first], t_start, t_end)
+        }
+        # reverse index: term -> ordinals of the batch queries using it
+        t2q: dict[str, list[int]] = {}
+        n_q = len(known_plan)
+        ks = np.empty(n_q, dtype=np.int64)
+        qids = np.empty(n_q, dtype=np.int64)
+        for qi, (qid, k, qterms) in enumerate(known_plan):
+            ks[qi], qids[qi] = k, qid
+            for t in qterms:
+                if t in term_slice:
+                    t2q.setdefault(t, []).append(qi)
+        t2q_arr = {t: np.asarray(v, dtype=np.int64) for t, v in t2q.items()}
+        sorted_terms = sorted(t2q_arr)
+        # chunk width bounds the matrix at |D| × chunk doubles
+        chunk = max(1, int(os.environ.get("SSSE_WAND_VEC_CHUNK", "128")))
+        out_qid, out_k, out_docid, out_score = [], [], [], []
+        for c0 in range(0, n_q, chunk):
+            c1 = min(c0 + chunk, n_q)
+            scores = np.zeros((c1 - c0, D.size), dtype=np.float64)
+            for t in sorted_terms:  # sorted order == the loop path's
+                qs = t2q_arr[t]  # ascending query ordinals
+                qs = qs[np.searchsorted(qs, c0) : np.searchsorted(qs, c1)]
+                if qs.size == 0:
+                    continue
+                s, e = term_slice[t]
+                r, v = row_all[s:e], imp_all[s:e]
+                if qs.size >= 2 and r.size * 10 >= D.size:
+                    # head term shared by many queries: scatter once
+                    # into a dense row, then contiguous SIMD adds per
+                    # query (measured ~10× over per-query fancy adds).
+                    # Bitwise-identical: the extra cells add +0.0 to
+                    # nonnegative partial sums, which is exact.
+                    tmp = np.zeros(D.size, dtype=np.float64)
+                    tmp[r] = v
+                    for q in qs:
+                        scores[q - c0] += tmp
+                else:
+                    for q in qs:
+                        scores[q - c0, r] += v
+            for j in range(c1 - c0):
+                col = scores[j]
+                k = int(ks[c0 + j])
+                pos = np.flatnonzero(col > 0.0)  # docs with >=1 query term
+                if pos.size == 0:
+                    continue
+                if pos.size > k:
+                    vals = col[pos]
+                    kth = np.partition(vals, vals.size - k)[vals.size - k]
+                    sel = pos[vals >= kth]  # boundary ties kept
+                else:
+                    sel = pos
+                sc, cands = col[sel], D[sel]
+                order = np.lexsort((cands, -sc))
+                if not keep_boundary_ties:
+                    order = order[:k]
+                out_qid.append(np.full(order.size, qids[c0 + j], dtype=np.int32))
+                out_k.append(np.full(order.size, k, dtype=np.int32))
+                out_docid.append(cands[order])
+                out_score.append(sc[order])
+        if not out_qid:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_qid),
+                "k": np.concatenate(out_k),
+                "docid": np.concatenate(out_docid),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    kernel = wand_shard_vec if vectorized else wand_shard
+    local = blocks.groupBy("_qgroup").applyInPandas(kernel, RESULT_SCHEMA)
     if keep_boundary_ties:
         w = Window.partitionBy("qid").orderBy(F.desc("score"))
         return (

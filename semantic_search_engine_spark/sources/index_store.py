@@ -29,6 +29,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SEGMENT_SCHEMA = (
     "shard int, term string, block_seq int, first_docid long, last_docid long, "
@@ -63,11 +64,50 @@ def manifest_dir(index_dir: str) -> str:
     return _p(index_dir, "manifest")
 
 
+def compact_records(index_dir: str) -> list[dict]:
+    """Committed compaction records from the generations log (a record
+    in the log IS the compaction's commit — see operators/build.py:
+    compact_generations)."""
+    return [g for g in read_generations(index_dir) if "compact_id" in g]
+
+
+def ingest_records(index_dir: str) -> list[dict]:
+    """Ingest-generation allocation records (the non-compaction lines)."""
+    return [g for g in read_generations(index_dir) if "compact_id" not in g]
+
+
+def retired_gen_bases(index_dir: str) -> set[int]:
+    """shard_base of every generation (ingest or merged) replaced by a
+    committed compaction — its manifest rows are gone, but a tagged
+    replay must still see it as complete."""
+    return {
+        int(b) for c in compact_records(index_dir) for b in c.get("retires_gen_bases", [])
+    }
+
+
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """LIVE manifest rows: the append-only parquet log minus (a) rows of
+    shard ranges retired by a committed compaction and (b) rows staged
+    by an UNcommitted compaction attempt (batch_id ``compact-<id>``
+    with no matching log record — a crash between the manifest append
+    and the log commit leaves them invisible forever; retrying compacts
+    afresh under a new id). The predicate chain grows with the number
+    of compactions — a long-lived 100-TB deployment snapshots the
+    generations log periodically (rewrite manifest + truncate log), the
+    same hygiene any LSM manifest needs."""
     d = manifest_dir(index_dir)
     if not os.path.isdir(d) or not any(f.endswith(".parquet") for f in os.listdir(d)):
         return None
-    return spark.read.schema(MANIFEST_SCHEMA).parquet(d)
+    df = spark.read.schema(MANIFEST_SCHEMA).parquet(d)
+    compacts = compact_records(index_dir)
+    if not compacts:
+        return df
+    committed = [f"compact-{c['compact_id']}" for c in compacts]
+    cond = (~F.col("batch_id").startswith("compact-")) | F.col("batch_id").isin(committed)
+    for c in compacts:
+        for lo, hi in c.get("retires", []):
+            cond = cond & ~((F.col("shard") >= int(lo)) & (F.col("shard") < int(hi)))
+    return df.filter(cond)
 
 
 def finished_shards(spark: SparkSession, index_dir: str) -> set[int]:
@@ -158,4 +198,13 @@ def read_stats(spark: SparkSession, index_dir: str) -> dict:
 
 
 def read_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(_p(index_dir, "docmap"))
+    # semi-join against the live manifest shards: a crash between a
+    # compaction's commit and its GC of retired dirs must not surface
+    # the same docids twice (broadcast of shard ids — bounded, ~10^6
+    # rows at 100 TB)
+    df = spark.read.parquet(_p(index_dir, "docmap"))
+    if compact_records(index_dir):
+        m = read_manifest(spark, index_dir)
+        if m is not None:
+            df = df.join(F.broadcast(m.select("shard").distinct()), "shard", "semi")
+    return df

@@ -119,3 +119,245 @@ def test_line_stats_semantics(spark):
         assert got[did] == want, (did, got[did], want)
     plan = audit.physical_plan(line_stats(docs))
     assert "Exchange" not in plan  # zero shuffles: scan -> project only
+
+
+# ------------------------------------------------- vectorized mega-batch WAND
+
+@pytest.fixture(scope="module")
+def wand_index7(spark, tmp_path_factory):
+    from semantic_search_engine_spark.operators.build import build_index
+
+    d = str(tmp_path_factory.mktemp("widx7"))
+    build_index(generate_webtext(spark, 2000), d, num_shards=6)
+    return d
+
+
+def test_wand_vectorized_identical(spark, wand_index7):
+    """The cross-query vectorized kernel must produce rows AND scores
+    EXACTLY equal (no rounding) to the per-query WAND loop — same
+    float64 accumulation order, same boundary-tie handling — across
+    OOV, mixed-OOV, single-term, and varying-k queries, under both idf
+    plans and both tie contracts."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+
+    reader = IndexReader(spark, wand_index7)
+    queries = generate_queries(n_queries=120)  # includes the OOV query
+    queries.append({"qid": 900, "query": "zzznope bababa", "k": 7})
+
+    def rows(**kw):
+        return sorted(
+            (r["qid"], r["rank"], r["docid"], r["score"])
+            for r in search_index_wand(reader, queries, **kw).collect()
+        )
+
+    for didf in (False, True):
+        want = rows(vectorized=False, distributed_idf=didf)
+        got = rows(vectorized=True, distributed_idf=didf)
+        assert got == want, f"distributed_idf={didf}"
+    # boundary-tie contract: every potential top-k member survives in
+    # both kernels with identical scores
+    assert rows(vectorized=True, keep_boundary_ties=True) == rows(
+        vectorized=False, keep_boundary_ties=True
+    )
+
+
+def test_wand_vectorized_auto_threshold(spark, wand_index7, monkeypatch):
+    """Auto mode flips to the vectorized kernel at the env threshold
+    and stays identical; theta_factor != 1.0 refuses vectorized."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+
+    reader = IndexReader(spark, wand_index7)
+    queries = generate_queries(n_queries=30)
+    monkeypatch.setenv("SSSE_WAND_VECTORIZE_MIN", "10")  # force auto-vec
+    auto = sorted(
+        (r["qid"], r["rank"], r["docid"], r["score"])
+        for r in search_index_wand(reader, queries).collect()
+    )
+    loop = sorted(
+        (r["qid"], r["rank"], r["docid"], r["score"])
+        for r in search_index_wand(reader, queries, vectorized=False).collect()
+    )
+    assert auto == loop
+    # approximate pruning keeps the loop kernel even above the threshold
+    # (must not raise — vectorized resolves to False on its own)
+    search_index_wand(reader, queries, theta_factor=1.5).collect()
+    with pytest.raises(ValueError, match="vectorized"):
+        search_index_wand(reader, queries, vectorized=True, theta_factor=1.5)
+
+
+# ------------------------------------------------- tiered LSM compaction
+
+def _served_rows(spark, d, queries):
+    """Tie-complete (qid, url, score) set — internal docids differ
+    between independently built indexes, so identity is checked on the
+    external key."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+    from semantic_search_engine_spark.sources import index_store
+
+    res = search_index_wand(IndexReader(spark, d), queries, keep_boundary_ties=True)
+    dm = index_store.read_docmap(spark, d).select("docid", "url")
+    return sorted(
+        (r["qid"], r["url"], round(r["score"], 9))
+        for r in res.join(dm, "docid").collect()
+    )
+
+
+def test_compaction_serves_identical(spark, tmp_path_factory):
+    """N micro-batch ingests (finalize=False) + tiered compaction +
+    one finalize must serve rank-identical to a single full build —
+    WAND and indexed-phrase alike (positions streams survive the
+    merge) — with live generations bounded and retired shard dirs
+    gone."""
+    from semantic_search_engine_spark.operators.build import (
+        _live_generations,
+        build_index,
+        compact_generations,
+        finalize_index,
+        ingest_generation,
+    )
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
+    from semantic_search_engine_spark.sources import index_store
+
+    docs = generate_webtext(spark, 1200).cache()
+    docs.count()
+    d_full = str(tmp_path_factory.mktemp("cmp_full"))
+    build_index(docs, d_full, num_shards=4, store_positions=True)
+    d_inc = str(tmp_path_factory.mktemp("cmp_inc"))
+    n_gens = 6
+    for i in range(n_gens):
+        part = docs.filter(F.pmod(F.xxhash64("url"), F.lit(n_gens)) == i)
+        ingest_generation(
+            part, d_inc, num_shards=2, finalize=False, store_positions=True
+        )
+    merges = compact_generations(spark, d_inc, tier_k=2)
+    assert merges >= 2  # tiers actually cascaded
+    live = _live_generations(spark, d_inc)
+    assert len(live) <= 3  # 6 equal gens at tier_k=2 collapse hard
+    finalize_index(spark, d_inc)
+
+    # the on-disk segment/docmap dirs are exactly the live manifest's
+    m = index_store.read_manifest(spark, d_inc)
+    live_shards = {r["shard"] for r in m.select("shard").distinct().collect()}
+    import os
+
+    for sub in ("segments", "docmap"):
+        on_disk = {
+            int(nm.split("=")[1])
+            for nm in os.listdir(os.path.join(d_inc, sub))
+            if nm.startswith("shard=")
+        }
+        assert on_disk <= live_shards, sub
+
+    queries = generate_queries(n_queries=25)
+    assert _served_rows(spark, d_inc, queries) == _served_rows(spark, d_full, queries)
+
+    # phrase serving from merged positions streams
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+
+    sample = docs.orderBy("url").limit(3).collect()
+    phr = [
+        {"qid": i, "query": " ".join(tokenize(r["text"])[2:4]), "k": 5}
+        for i, r in enumerate(sample)
+    ]
+
+    def phrase_rows(d):
+        res = search_index_phrase(
+            IndexReader(spark, d), phr, keep_boundary_ties=True
+        )
+        dm = index_store.read_docmap(spark, d).select("docid", "url")
+        return sorted(
+            (r["qid"], r["url"], round(r["score"], 9))
+            for r in res.join(dm, "docid").collect()
+        )
+
+    got, want = phrase_rows(d_inc), phrase_rows(d_full)
+    assert got == want and len(got) > 0
+    docs.unpersist()
+
+
+def test_compaction_crash_replay_and_ingest_after(spark, tmp_path):
+    """Crash/replay contracts around the compaction commit: (1) manifest
+    rows from an UNcommitted compaction attempt are invisible; (2) a
+    tagged replay of a compacted-away generation is recognized as
+    complete (no rebuild); (3) a fresh ingest AFTER compaction
+    allocates past the merged ranges and serves; (4) rebuilding into a
+    retired range fails loudly."""
+    from semantic_search_engine_spark.operators.build import (
+        build_segments,
+        compact_generations,
+        finalize_index,
+        ingest_generation,
+    )
+    from semantic_search_engine_spark.sources import index_store
+
+    docs = generate_webtext(spark, 400).cache()
+    docs.count()
+    d = str(tmp_path / "idx")
+    quarters = [
+        docs.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == i) for i in range(4)
+    ]
+    for i, part in enumerate(quarters):
+        ingest_generation(
+            part, d, num_shards=2, finalize=False, tag=f"b{i}"
+        )
+    assert compact_generations(spark, d, tier_k=2) >= 2
+    stats = finalize_index(spark, d)
+    n_before = stats["n_docs"]
+
+    # (1) orphaned compact-* manifest rows (no log record) are invisible
+    index_store.append_manifest(
+        spark, d,
+        [{
+            "shard": 9999, "n_docs": 123, "sum_dl": 1, "n_terms": 1,
+            "n_blocks": 1, "n_postings": 1, "payload_bytes": 1,
+            "first_docid": 10**9, "last_docid": 10**9,
+            "batch_id": "compact-deadbeef00",
+        }],
+    )
+    m = index_store.read_manifest(spark, d)
+    assert m.filter(F.col("shard") == 9999).count() == 0
+
+    # (2) replaying a retired generation's tag is a no-op, not a rebuild
+    gens_before = len(index_store.read_generations(d))
+    ingest_generation(quarters[0], d, num_shards=2, finalize=False, tag="b0")
+    assert len(index_store.read_generations(d)) == gens_before
+
+    # (3) ingest after compaction: fresh range, index grows, serves
+    extra = generate_webtext(spark, 150, seed=99).withColumn(
+        "url", F.concat(F.lit("x-"), F.col("url"))
+    )
+    stats2 = ingest_generation(extra, d, num_shards=2, finalize=True)
+    assert stats2["n_docs"] == n_before + 150
+
+    # (4) a build aimed at a retired shard range is refused
+    retired_lo = index_store.compact_records(d)[0]["retires"][0][0]
+    with pytest.raises(ValueError, match="retired"):
+        build_segments(docs, d, num_shards=1, shard_base=int(retired_lo))
+    docs.unpersist()
+
+
+def test_compaction_generation_bound(spark, tmp_path):
+    """8 equal micro-batches at tier_k=2 collapse to O(log N) live
+    generations, and compaction is idempotent once converged."""
+    from semantic_search_engine_spark.operators.build import (
+        _live_generations,
+        compact_generations,
+        ingest_generation,
+    )
+
+    docs = generate_webtext(spark, 480).cache()
+    docs.count()
+    d = str(tmp_path / "idx")
+    n = 8
+    for i in range(n):
+        part = docs.filter(F.pmod(F.xxhash64("url"), F.lit(n)) == i)
+        ingest_generation(part, d, num_shards=1, finalize=False)
+    assert len(_live_generations(spark, d)) == n
+    compact_generations(spark, d, tier_k=2)
+    live = _live_generations(spark, d)
+    import math
+
+    assert len(live) <= 2 * math.ceil(math.log2(n))  # K·log N bound
+    assert sum(g["n_docs"] for g in live) == 480  # no docs lost
+    assert compact_generations(spark, d, tier_k=2) == 0  # converged
+    docs.unpersist()
