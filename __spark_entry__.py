@@ -638,6 +638,48 @@ def q_line_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.line_stats(_docs_with_lines(spark, sf_dir))
 
 
+PII_STEP_EMAIL, PII_STEP_IP, PII_STEP_PHONE = 3, 4, 5
+# the EXACT pattern strings the operator compiles — interpolated into
+# the oracle SQL so Spark and DuckDB can never drift apart silently
+_PII_EMAIL, _PII_IPV4, _PII_PHONE = (p for _, p in textstats.PII_PATTERNS)
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-bearing view of ``documents``: deterministic synthetic
+    email / IPv4 / phone strings appended by doc_id residue (the
+    byte-pinned corpus is PII-free, so the masking operator needs a
+    derived view — pure SQL over the existing text, reproduced
+    identically in the DuckDB oracle). Residues 3/4/5 overlap (e.g.
+    doc 60 carries all three), so multi-category docs are exercised."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact u"), i.cast("string"),
+        F.lit("@ex-"), (i % 9).cast("string"), F.lit(".org"),
+    )
+    ip = F.concat(
+        F.lit(" node 10."), (i % 256).cast("string"),
+        F.lit(".0."), (i % 250).cast("string"),
+    )
+    phone = F.concat(F.lit(" tel +1 555 0"), (100 + i % 900).cast("string"))
+    t = F.concat(
+        F.col("text"),
+        F.when(i % PII_STEP_EMAIL == 0, email).otherwise(F.lit("")),
+        F.when(i % PII_STEP_IP == 0, ip).otherwise(F.lit("")),
+        F.when(i % PII_STEP_PHONE == 0, phone).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Dolma-style PII masking: per-doc email/IPv4/phone match
+    counts + the redacted text (operators/textstats.py:pii_stats —
+    chained codegen regexp_replace, ONE scan, ZERO shuffles,
+    plan-asserted). The oracle runs the IDENTICAL patterns through
+    DuckDB's RE2 and compares the redacted text byte-for-byte."""
+    return textstats.pii_stats(_docs_with_pii(spark, sf_dir))
+
+
 FUNNEL_QUALITY_T = 0.6  # ~median of the testdata quality distribution
 
 
@@ -1048,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
+        "pii_stats": q_pii_stats,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
         "dedup_exact": q_dedup_exact,
@@ -1277,6 +1320,31 @@ SELECT d.doc_id,
        coalesce(round(a.dup::DOUBLE / a.m, 6), 0.0)::DOUBLE AS dup_line_frac,
        coalesce(round(a.dup_chars::DOUBLE / nullif(a.tot_chars, 0), 6), 0.0)::DOUBLE AS dup_char_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        "pii_stats": f"""
+WITH pv AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % {PII_STEP_EMAIL} = 0
+         THEN ' contact u' || doc_id::VARCHAR || '@ex-' || (doc_id % 9)::VARCHAR || '.org'
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_IP} = 0
+         THEN ' node 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_PHONE} = 0
+         THEN ' tel +1 555 0' || (100 + doc_id % 900)::VARCHAR
+         ELSE '' END AS t
+  FROM documents
+),
+r1 AS (SELECT doc_id, t,
+              regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM pv),
+r2 AS (SELECT doc_id, t, t1,
+              regexp_replace(t1, '{_PII_IPV4}', '<IPV4>', 'g') AS t2 FROM r1)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t1, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t2, '{_PII_PHONE}'))::BIGINT AS n_phone,
+       regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM r2
 """,
         "corpus_filter_funnel": f"""
 WITH crawl AS (

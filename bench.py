@@ -313,6 +313,27 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 3), "result_rows": int(nrows),
             }
 
+            # mega-batch WAND, once: the cross-query vectorized kernel
+            # vs the per-query loop at 2048-query width over the same
+            # index (identity of rows is pytest-asserted; this row
+            # prices it in-artifact — the 2M-doc pricing lives in
+            # BENCH/BASELINE.md via scripts/megabatch_vec_bench.py)
+            wq = generate_queries(n_queries=2048)
+            t0 = time.perf_counter()
+            n_loop = int(search_index_wand(pos_reader, wq, vectorized=False).count())
+            loop_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_vec = int(search_index_wand(pos_reader, wq, vectorized=True).count())
+            vec_s = time.perf_counter() - t0
+            extras["wand_megabatch_vec"] = {
+                "n_queries": len(wq),
+                "loop_sec": round(loop_s, 3),
+                "vectorized_sec": round(vec_s, 3),
+                "loop_qps": round(len(wq) / loop_s, 1),
+                "vectorized_qps": round(len(wq) / vec_s, 1),
+                "rows_equal": n_loop == n_vec,
+            }
+
             # decode-volume comparison (bytes each plan must touch per
             # 8-phrase batch): indexed = the phrase terms' posting blocks
             # incl. positions; text plan = same minus positions PLUS the

@@ -209,6 +209,12 @@ throughput is the 100-TB serving claim; this width makes the per-batch
 fixed costs — known_plan/idf broadcast, per-(query, group) bookkeeping
 in the shard kernels — visible in the q/s delta between the two widths.
 
+NOTE (round 7+): the cross-query VECTORIZED kernel numbers for the
+same widths live in BENCH/BASELINE.md ("Round 7 — cross-query
+vectorized kernel", produced by `scripts/megabatch_vec_bench.py`) —
+re-run that script and re-paste its table if this file ever
+regenerates this section; the numbers above are the LOOP kernel.
+
 Companion reports: `BENCH/RECALL.md` (pruned-path recall vs brute
 force, the reference's evaluation harness) and `BENCH/ANN_LADDER.md`
 (IVF latency at the reference's published size axis).

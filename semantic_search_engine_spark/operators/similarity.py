@@ -745,11 +745,18 @@ class IVFPQIndex:
         pq.codes.unpersist()
         return cls(table, ivf.centroids, pq.codebooks, id_col, vec_col)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, emb: DataFrame | None = None) -> None:
         """Persist: the (id, bucket, codes) table bucket-partitioned —
         a probe reads ONLY its n_probe partition directories, each
         holding 8-byte codes, the scan-cheapest on-disk ANN layout —
-        plus centroids + codebooks as JSON driver arrays."""
+        plus centroids + codebooks as JSON driver arrays. Passing
+        ``emb`` additionally writes the RAW vectors bucket-partitioned
+        under ``vectors/``, which enables the local probe's exact
+        rerank (``LocalIVFPQProbe.search(rerank=N)``): the quality of
+        the distributed shortlist rerank at local-probe latency. The
+        vectors cost ~dim×4 bytes/row on disk but probes still read
+        them only for shortlist buckets — ADC-only serving never
+        touches them."""
         import json
         import os
 
@@ -759,6 +766,14 @@ class IVFPQIndex:
             .partitionBy("bucket")
             .parquet(os.path.join(path, "codes"))
         )
+        if emb is not None:
+            (
+                emb.select(self.id_col, self.vec_col)
+                .join(self.table.select(self.id_col, "bucket"), self.id_col)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(path, "vectors"))
+            )
         with open(os.path.join(path, "ivfpq.json"), "w") as f:
             json.dump(
                 {
@@ -848,6 +863,19 @@ class LocalIVFPQProbe:
         self._dataset = ds.dataset(
             os.path.join(path, "codes"), format="parquet", partitioning="hive"
         )
+        # optional raw-vector twin (save(emb=...)) for the exact rerank:
+        # separate, smaller LRU — vector buckets are ~dim×4/8 ≈ 32×
+        # heavier than code buckets, and only shortlist reranks load them
+        self.vec_col = meta["vec_col"]
+        self._dim = self.codebooks.shape[0] * self.codebooks.shape[2]
+        vp = os.path.join(path, "vectors")
+        self._vdataset = (
+            ds.dataset(vp, format="parquet", partitioning="hive")
+            if os.path.isdir(vp)
+            else None
+        )
+        self._vcache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._vcache_cap = max(8, cache_buckets // 8)
 
     def _load_buckets(self, buckets: list[int]) -> list[tuple[np.ndarray, np.ndarray]]:
         """[(ids, codes matrix)] per probed bucket — the LocalIVFProbe
@@ -881,7 +909,7 @@ class LocalIVFPQProbe:
         return out
 
     def search_batch(
-        self, query_vecs, k: int = 10, n_probe: int = 4
+        self, query_vecs, k: int = 10, n_probe: int = 4, rerank: int | None = None,
     ) -> list[list[tuple[int, float]]]:
         """Per-query results identical to ``search`` on each — the
         batch's probe union preloads in bounded chunks with the LRU
@@ -900,13 +928,21 @@ class LocalIVFPQProbe:
         with raised_cache_cap(self, len(union)):
             for i in range(0, len(union), 32):
                 self._load_buckets(union[i : i + 32])
-            return [self.search(qm[i], k=k, n_probe=n_probe) for i in range(qm.shape[0])]
+            return [
+                self.search(qm[i], k=k, n_probe=n_probe, rerank=rerank)
+                for i in range(qm.shape[0])
+            ]
 
     def search(
-        self, query_vec: list[float], k: int = 10, n_probe: int = 4
+        self, query_vec: list[float], k: int = 10, n_probe: int = 4,
+        rerank: int | None = None,
     ) -> list[tuple[int, float]]:
         """[(id, adc)] — identical rows to
-        ``IVFPQIndex.adc_scores(q, n_probe).orderBy(desc adc, id)``."""
+        ``IVFPQIndex.adc_scores(q, n_probe).orderBy(desc adc, id)``.
+        With ``rerank=N``: [(id, cos)] — the ADC top-N shortlist
+        exact-reranked against the raw vectors (requires a
+        ``save(emb=...)`` layout), identical rows to
+        ``IVFPQIndex.search(emb, q, k, n_probe, shortlist=N)``."""
         q = np.asarray(query_vec, dtype=np.float64)
         probe = [int(b) for b in np.argsort(self._cn @ (q / np.linalg.norm(q)))[-n_probe:]]
         parts = self._load_buckets(probe)
@@ -914,7 +950,75 @@ class LocalIVFPQProbe:
         if ids.size == 0:
             return []
         codes = np.vstack([p[1] for p in parts])
-        return _adc_topk(ids, codes, self.codebooks, q, k)
+        if rerank is None:
+            return _adc_topk(ids, codes, self.codebooks, q, k)
+        # exact rerank, driver-side: ADC shortlist (same (adc desc, id
+        # asc) cut as IVFPQIndex.search(shortlist=rerank)) → raw vectors
+        # from the probed buckets' vector partitions → true cosine,
+        # 6-dp rounded with the distributed path's tie rule — rows
+        # identical to IVFPQIndex.search (pytest-asserted), at
+        # local-probe latency instead of a Spark job
+        short = _adc_topk(ids, codes, self.codebooks, q, max(int(rerank), k))
+        if not short:
+            return []
+        sids = np.asarray([i for i, _ in short], dtype=np.int64)
+        vparts = self._load_vector_buckets(probe)
+        cat_ids = np.concatenate([p[0] for p in vparts])
+        cat_m = (
+            np.vstack([p[1] for p in vparts])
+            if cat_ids.size
+            else np.empty((0, self._dim))
+        )
+        order = np.argsort(cat_ids)
+        cat_ids, cat_m = cat_ids[order], cat_m[order]
+        pos = np.searchsorted(cat_ids, sids)
+        assert pos.size == 0 or (
+            (pos < cat_ids.size).all() and (cat_ids[pos] == sids).all()
+        ), "shortlist ids missing from the vectors layout — stale save?"
+        vecs = cat_m[pos]
+        cos = np.round(
+            (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q)), 6
+        )
+        sel = np.lexsort((sids, -cos))[:k]
+        return [(int(sids[i]), float(cos[i])) for i in sel]
+
+    def _load_vector_buckets(self, buckets: list[int]) -> list[tuple[np.ndarray, np.ndarray]]:
+        """[(ids sorted, vector matrix)] per bucket from the optional
+        ``vectors/`` twin — the `_load_buckets` pattern with its own
+        (smaller) LRU; ids sorted per bucket so shortlist gathers are
+        one searchsorted."""
+        if self._vdataset is None:
+            raise ValueError(
+                "index was saved without raw vectors — re-save with "
+                "IVFPQIndex.save(path, emb=...) to enable rerank"
+            )
+        miss = [b for b in buckets if b not in self._vcache]
+        if miss:
+            t = self._vdataset.to_table(
+                columns=[self.id_col, self.vec_col, "bucket"],
+                filter=self._ds.field("bucket").isin(miss),
+            )
+            ids_all = t.column(self.id_col).to_numpy()
+            bk = t.column("bucket").to_numpy()
+            m_all = _flat_fixed_width(t.column(self.vec_col), self._dim, np.float64)
+            order = (
+                np.argsort(bk, kind="stable") if len(ids_all) else np.empty(0, np.int64)
+            )
+            bk_sorted = bk[order] if len(ids_all) else bk
+            for b in miss:
+                lo = np.searchsorted(bk_sorted, b)
+                hi = np.searchsorted(bk_sorted, b, side="right")
+                sel = order[lo:hi]
+                bids, bm = ids_all[sel], m_all[sel]
+                o2 = np.argsort(bids)
+                self._vcache[b] = (bids[o2], bm[o2])
+        out = []
+        for b in buckets:
+            self._vcache.move_to_end(b)
+            out.append(self._vcache[b])
+        while len(self._vcache) > self._vcache_cap:
+            self._vcache.popitem(last=False)
+        return out
 
 
 # ---------------------------------------------------------------- LSH

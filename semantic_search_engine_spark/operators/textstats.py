@@ -417,3 +417,51 @@ def filter_funnel(
         F.countDistinct(F.when(keep, F.col("_fp"))).cast("long").alias("n_unique")
     )
     return per.agg(*aggs)
+
+
+# PII masking (the CCNet/Dolma pre-training hygiene stage): patterns
+# are deliberately engine-portable — no backreferences, no lookaround,
+# no \b (Java and RE2 agree on everything used here), so the SAME
+# strings drive Spark's codegen regexp functions and the DuckDB oracle.
+# Replacement tokens contain no digits or '@'/'.' runs, so later
+# patterns can never re-match inside an earlier redaction.
+PII_PATTERNS = (
+    # order matters: emails first (their domain part would otherwise
+    # feed the hostname-ish patterns), then IPs, then phone-ish runs
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+    ("phone", r"\+[0-9]{1,3}([ -][0-9]{2,4}){2,4}"),
+)
+
+
+def pii_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, redacted) — per-doc PII match
+    counts and the text with every match masked as ``<EMAIL>`` /
+    ``<IPV4>`` / ``<PHONE>`` (applied in PII_PATTERNS order, the same
+    sequential-rewrite semantics as the CCNet/Dolma cleaners).
+
+    100-TB shape: per-doc signals must not shuffle — this is ONE
+    scan→project with ZERO shuffles (plan-asserted), all codegen
+    (``regexp_extract_all`` sizes + chained ``regexp_replace``), no
+    explode, no UDF. The DuckDB oracle runs the identical patterns
+    through its RE2 engine — count AND redacted text are compared
+    byte-for-byte, so any engine-semantics divergence in the patterns
+    fails the hash, not just the row count.
+
+    Each count is taken on the RUNNING redacted text — i.e. it counts
+    what its own stage actually masks. Counting on the raw text would
+    double-report overlaps (an email whose domain swallows an IP-shaped
+    suffix, e.g. ``a@b.co1.2.3.4``, would report n_ipv4=1 with no
+    ``<IPV4>`` in the output)."""
+    red = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), *counts, red.alias("redacted"))

@@ -22,7 +22,15 @@ micro-batch (finalize cost is O(total segments), so high-frequency
 streams amortize it; un-finalized generations are durable in segments +
 manifest and become visible at the next compaction — the standard LSM
 visibility rule). Call ``finalize_index`` once after stopping to
-compact any tail.
+compact any tail. ``compact_tier_k=K`` additionally runs SIZE-TIERED
+generation compaction (operators/build.py:compact_generations) after
+every ingest: whenever a size class holds ≥ K live generations they
+k-way-merge — O(tier) I/O, a no-op when no tier is full — so a stream
+that runs forever keeps live generations (and therefore probe read
+amplification) bounded at O(K·log N) WITHOUT ever paying finalize's
+O(index) rewrite per batch. The production shape for continuous
+ingest is ``finalize_every=0, compact_tier_k=K`` + one finalize per
+serving snapshot.
 """
 
 from __future__ import annotations
@@ -31,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-from ..operators.build import ingest_generation
+from ..operators.build import compact_generations, ingest_generation
 
 
 def stream_ingest(
@@ -40,6 +48,7 @@ def stream_ingest(
     num_shards_per_batch: int | None = None,
     checkpoint_dir: str | None = None,
     finalize_every: int = 1,
+    compact_tier_k: int | None = None,
     trigger: dict | None = None,
     text_col: str = "text",
     url_col: str = "url",
@@ -76,6 +85,13 @@ def stream_ingest(
             finalize=do_finalize,
             store_positions=store_positions,
         )
+        if compact_tier_k:
+            # single-writer by construction: foreachBatch handlers run
+            # serially within one streaming query. A no-op (one bounded
+            # manifest aggregate) unless some size class filled a tier.
+            compact_generations(
+                batch_df.sparkSession, index_dir, tier_k=compact_tier_k
+            )
 
     writer = stream_df.writeStream.foreachBatch(handle).option("checkpointLocation", ckpt)
     if trigger:

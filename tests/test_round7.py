@@ -361,3 +361,85 @@ def test_compaction_generation_bound(spark, tmp_path):
     assert sum(g["n_docs"] for g in live) == 480  # no docs lost
     assert compact_generations(spark, d, tier_k=2) == 0  # converged
     docs.unpersist()
+
+
+# ------------------------------------------------- PII masking
+
+def test_pii_stats_semantics(spark):
+    """pii_stats counts and redaction must equal Python `re` run with
+    the same patterns and sequential-rewrite order, over docs covering
+    each category, multi-category, adjacency, and no-PII cases; the
+    plan stays zero-shuffle."""
+    import re
+
+    from semantic_search_engine_spark.operators.textstats import PII_PATTERNS, pii_stats
+    from semantic_search_engine_spark.plans import audit
+
+    rows = [
+        (0, "write to alice.smith+x@sub.example.co.uk today"),
+        (1, "server 192.168.0.1 and 10.0.0.255 are up"),
+        (2, "call +44 20 7946 0958 or +1 555 0100"),
+        (3, "mix a@b.io at 8.8.8.8 tel +33 61 23 45 67"),
+        (4, "no pii here just words and 12345 numbers"),
+        (5, "adjacent a@b.co1.2.3.4 weird"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    for did, text in rows:
+        red = text
+        want_counts = {}
+        for name, pat in PII_PATTERNS:
+            want_counts[name] = len(re.findall(pat, red))
+            red = re.sub(pat, f"<{name.upper()}>", red)
+        g = got[did]
+        for name, _ in PII_PATTERNS:
+            assert g[f"n_{name}"] == want_counts[name], (did, name)
+        assert g["redacted"] == red, did
+    # discriminating fixture: every category fired somewhere
+    assert sum(g["n_email"] for g in got.values()) >= 3
+    assert sum(g["n_ipv4"] for g in got.values()) >= 3
+    assert sum(g["n_phone"] for g in got.values()) >= 3
+    plan = audit.physical_plan(pii_stats(docs))
+    assert "Exchange" not in plan  # zero shuffles: scan -> project only
+
+
+# ------------------------------------------------- local IVF-PQ exact rerank
+
+def test_local_ivfpq_rerank_equals_distributed_search(spark, tmp_path):
+    """LocalIVFPQProbe.search(rerank=N) must return row-identical
+    results to IVFPQIndex.search(shortlist=N) — the distributed exact
+    rerank's quality at local-probe latency — and fail loudly on a
+    layout saved without raw vectors."""
+    from semantic_search_engine_spark.fixtures.vectors import (
+        generate_query_vectors,
+        generate_vectors,
+    )
+    from semantic_search_engine_spark.operators import similarity
+
+    emb = generate_vectors(spark, 4000).cache()
+    emb.count()
+    idx = similarity.IVFPQIndex.build(emb, n_clusters=16, n_segments=8, n_codes=16)
+    d = str(tmp_path / "ivfpq")
+    idx.save(d, emb=emb)
+    probe = similarity.LocalIVFPQProbe(d)
+    qs = generate_query_vectors(6)
+    for q in qs:
+        got = probe.search(q, k=5, n_probe=4, rerank=30)
+        want = [
+            (int(r["vec_id"]), float(r["cos"]))
+            for r in idx.search(emb, q, k=5, n_probe=4, shortlist=30).collect()
+        ]
+        assert got == want
+    # batch pass-through serves the same rows; ADC-only path unchanged
+    batch = probe.search_batch(qs, k=5, n_probe=4, rerank=30)
+    assert batch[0] == probe.search(qs[0], k=5, n_probe=4, rerank=30)
+    adc = probe.search(qs[0], k=5, n_probe=4)
+    assert len(adc) == 5 and adc != batch[0]  # different ranker, same probe
+    # a codes-only layout refuses rerank instead of silently degrading
+    d2 = str(tmp_path / "novec")
+    idx.save(d2)
+    with pytest.raises(ValueError, match="without raw vectors"):
+        similarity.LocalIVFPQProbe(d2).search(qs[0], k=5, rerank=30)
+    idx.table.unpersist()
+    emb.unpersist()

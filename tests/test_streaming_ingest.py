@@ -201,3 +201,46 @@ def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
     assert got[(d2, "buy")] == (1, 2.0)
     # the far-future window never finalized -> not emitted (append contract)
     assert len(got) == 4
+
+
+def test_stream_ingest_with_tiered_compaction(spark, tmp_path_factory):
+    """Continuous-ingest shape: finalize_every=0 + compact_tier_k=2 —
+    every micro-batch lands as a generation, tiers merge as they fill
+    INSIDE the stream (foreachBatch is serial, so compaction is
+    single-writer), live generations stay bounded, and ONE finalize at
+    the end serves rank-identical to an all-at-once build."""
+    from semantic_search_engine_spark.operators.build import _live_generations
+
+    src = str(tmp_path_factory.mktemp("cmp_src"))
+    idx = str(tmp_path_factory.mktemp("cmp_idx"))
+    full = str(tmp_path_factory.mktemp("cmp_full"))
+
+    n_files = 6
+    per = N // n_files
+    for i in range(n_files):
+        generate_webtext(spark, per, start=i * per).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(src)
+    )
+    q = stream_ingest(
+        stream, idx, num_shards_per_batch=1, finalize_every=0,
+        compact_tier_k=2, trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    ingests = index_store.ingest_records(idx)
+    assert len(ingests) == n_files  # every micro-batch left its record
+    live = _live_generations(spark, idx)
+    assert len(live) <= 3  # 6 equal gens at tier_k=2 collapse in-stream
+    assert sum(g["n_docs"] for g in live) == N
+
+    stats = finalize_index(spark, idx)
+    assert stats["n_docs"] == N
+    build_index(generate_webtext(spark, N), full, num_shards=3)
+    queries = generate_queries()[:8]
+    a = _wand_by_url(spark, full, queries)
+    b = _wand_by_url(spark, idx, queries)
+    assert (a["url"].values == b["url"].values).all()
+    assert (a["score"].values == b["score"].values).all()
