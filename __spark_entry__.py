@@ -131,7 +131,7 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_wand(spark, _WAND_CACHE[key])
 
 
-def _serve_wand(spark: SparkSession, d: str) -> DataFrame:
+def _serve_wand(spark: SparkSession, d: str, vectorized: bool | None = None) -> DataFrame:
     """WAND top-k from an on-disk index, mapped back to external ids.
 
     Tie-EXACT for any tie-run length: ``keep_boundary_ties=True`` makes
@@ -145,9 +145,22 @@ def _serve_wand(spark: SparkSession, d: str) -> DataFrame:
 
     reader = IndexReader(spark, d)
     res = search_index_wand(
-        reader, [{"qid": 0, "query": BM25_QUERY, "k": BM25_K}], keep_boundary_ties=True
+        reader,
+        [{"qid": 0, "query": BM25_QUERY, "k": BM25_K}],
+        keep_boundary_ties=True,
+        vectorized=vectorized,
     )
     return _docmap_rerank(spark, d, res)
+
+
+def q_bm25_wand_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as q_bm25_wand_topk, served through the CROSS-QUERY
+    VECTORIZED shard kernel (query.py:wand_shard_vec — forced here;
+    auto mode engages it at ≥512-query batches) — puts the mega-batch
+    serving kernel under the DuckDB hash gate, not just the
+    loop-identity pytest."""
+    q_bm25_wand_topk(spark, sf_dir)  # ensure the cached index exists
+    return _serve_wand(spark, _WAND_CACHE[os.path.abspath(sf_dir)], vectorized=True)
 
 
 def _docmap_rerank(spark: SparkSession, d: str, res: DataFrame) -> DataFrame:
@@ -804,6 +817,26 @@ def q_ann_ivfpq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(emb, _query_vec(spark, sf_dir), k=10, n_probe=8, exclude_ids=[0])
 
 
+def q_ann_ivfpq_local_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIVER-LOCAL IVF-PQ exact-rerank path end-to-end: build →
+    save WITH the raw-vector twin → LocalIVFPQProbe.search(rerank=n)
+    at full probe + full shortlist, which must equal exact brute-force
+    cosine (the same oracle as ann_ivfpq_fullprobe) — so the local
+    serving twin's rerank is hash-gated against DuckDB, not only
+    pytest-identical to the distributed path."""
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = similarity.IVFPQIndex.build(
+        emb, n_clusters=8, n_segments=8, n_codes=16, sample_cap=2000
+    )
+    d = tempfile.mkdtemp(prefix="ssse_ivfpq_rr_")
+    idx.save(d, emb=emb)
+    probe = similarity.LocalIVFPQProbe(d)
+    n = int(emb.count())
+    got = probe.search(_query_vec(spark, sf_dir), k=11, n_probe=8, rerank=n)
+    rows = [(int(i), float(c)) for i, c in got if i != 0][:10]
+    return spark.createDataFrame(rows, "vec_id long, cos double")
+
+
 def q_ann_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact L1-nearest top-10 (the reference's Manhattan metric option,
     /root/reference/src/PQ.py:139-140) as a pure JVM expression."""
@@ -1071,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
@@ -1103,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "ann_pq_fullprobe": q_ann_pq_fullprobe,
         "ann_ivfpq_fullprobe": q_ann_ivfpq_fullprobe,
+        "ann_ivfpq_local_rerank": q_ann_ivfpq_local_rerank,
         "ann_manhattan_topk": q_ann_manhattan_topk,
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "multimodal_bmp_topk": q_multimodal_bmp_topk,
@@ -1204,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
+        "bm25_wand_vectorized_topk": _bm25_oracle(BM25_K),
         "bm25_conjunctive_topk": _bm25_conjunctive_oracle(BM25_K),
         "bm25_phrase_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),
@@ -1482,6 +1518,12 @@ FROM embeddings, q WHERE vec_id <> 0
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
 """,
         "ann_ivfpq_fullprobe": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, vec_id LIMIT 10
+""",
+        "ann_ivfpq_local_rerank": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
 FROM embeddings, q WHERE vec_id <> 0

@@ -238,20 +238,34 @@ def render_ivfpq_section(rows: dict[int, dict]) -> str:
         "engine's same-protocol number, and the rerank columns price the",
         "exact-rerank shortlist (`IVFPQIndex.search`) that Faiss lacks.",
         "",
-        "| rows | clusters | n_probe | segs×codes | build (s) | LOCAL ADC p50 miss (s) | LOCAL ADC p50 warm (s) | batched ADC /query (s) | ADC recall@5 | ADC score | rerank /query (s) | rerank recall@5 | rerank score | PQ full-scan ADC /query (s) | reference (s, score) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| rows | clusters | n_probe | segs×codes | build (s) | LOCAL ADC p50 miss (s) | LOCAL ADC p50 warm (s) | batched ADC /query (s) | ADC recall@5 | ADC score | Spark rerank /query (s) | LOCAL rerank p50 miss/warm (s) | rerank recall@5 | rerank score | PQ full-scan ADC /query (s) | reference (s, score) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for n in sorted(rows):
         r = rows[n]
+        lrr = (
+            f"{_fmt(r['local_rerank_p50_miss_s'])} / **{_fmt(r['local_rerank_p50_warm_s'])}**"
+            if r.get("local_rerank_p50_warm_s") is not None
+            else "—"
+        )
         md.append(
             f"| {n:,} | {r['clusters']} | {r['n_probe']} "
             f"| {r['n_segments']}×{r['n_codes']} | {_fmt(r.get('build_s'))} "
             f"| {_fmt(r.get('adc_p50_miss_s'))} | **{_fmt(r.get('adc_p50_warm_s'))}** "
             f"| {_fmt(r.get('adc_batch_per_q_s'))} | {_fmt(r.get('adc_recall_at_5'))} "
             f"| {_fmt(r.get('adc_ref_score'))} | {_fmt(r.get('rerank_per_q_s'))} "
+            f"| {lrr} "
             f"| {_fmt(r.get('rerank_recall_at_5'))} | {_fmt(r.get('rerank_ref_score'))} "
             f"| {_fmt(r.get('pq_fullscan_per_q_s'))} | {r.get('ref_note', '—')} |"
         )
+    md += [
+        "",
+        "`LOCAL rerank` is `LocalIVFPQProbe.search(rerank=50)` — the SAME",
+        "rows as the Spark rerank column (pytest-identical), served",
+        "driver-locally from the probed buckets' raw-vector partitions;",
+        "the Spark column's ~1 s is the per-job scheduling floor, not the",
+        "rerank's cost.",
+    ]
     ctl = load_ivfpq_control()
     if ctl:
         md += [
@@ -281,9 +295,10 @@ def render_ivfpq_section(rows: dict[int, dict]) -> str:
             "from its code either. Latency parity is unambiguous",
             "(19 ms vs 0.7 s on its own recipe); on quality, the path",
             "that actually approaches score 0 at 1M is the exact-rerank",
-            "shortlist (`IVFPQIndex.search`) this engine adds — widen",
-            "shortlist/n_probe to trade latency for score; Faiss-style",
-            "ADC-only serving cannot make that trade.",
+            "shortlist (`IVFPQIndex.search` / the LOCAL rerank column,",
+            f"{_fmt(ctl.get('local_rerank_p50_warm_s'))} s warm here) —",
+            "widen shortlist/n_probe to trade latency for score;",
+            "Faiss-style ADC-only serving cannot make that trade.",
         ]
     md += [
         "",

@@ -116,7 +116,7 @@ def measure_rung(
 
     idx_dir = tempfile.mkdtemp(prefix="ssse_ivfpq_ladder_")
     t0 = time.time()
-    idx.save(idx_dir)
+    idx.save(idx_dir, emb=emb)  # vectors twin enables the local rerank
     save_s = time.time() - t0
 
     probe = similarity.LocalIVFPQProbe(idx_dir, cache_buckets=max(1024, clusters))
@@ -169,6 +169,25 @@ def measure_rung(
     rr_scores = reference_scores_for_results(emb, queries, rr_results, k=K, n=n)
     rr_score = sum(rr_scores.values()) / max(len(rr_scores), 1)
 
+    # LOCAL exact rerank: same rows as the distributed rerank above
+    # (pytest-asserted identity), priced at local-probe latency — the
+    # ADC shortlist re-scored against raw vectors read from the probed
+    # buckets' vectors/ partitions, no Spark job
+    lats = []
+    for q in queries:  # pass 1: vector-bucket cache misses
+        t0 = time.time()
+        probe.search(q, k=K, n_probe=n_probe, rerank=10 * K)
+        lats.append(time.time() - t0)
+    lats.sort()
+    lrr_p50_miss = lats[len(lats) // 2]
+    lats = []
+    for q in queries:  # pass 2: LRU-warm
+        t0 = time.time()
+        probe.search(q, k=K, n_probe=n_probe, rerank=10 * K)
+        lats.append(time.time() - t0)
+    lats.sort()
+    lrr_p50_warm = lats[len(lats) // 2]
+
     # the reference's exhaustive-PQ row (Report p.9): full-scan ADC
     # over ALL codes, no IVF cut — LocalPQProbe
     t0 = time.time()
@@ -206,6 +225,8 @@ def measure_rung(
         "rerank_per_q_s": round(rerank_per_q, 4),
         "rerank_recall_at_5": round(rr_recall, 3),
         "rerank_ref_score": round(rr_score, 2),
+        "local_rerank_p50_miss_s": round(lrr_p50_miss, 4),
+        "local_rerank_p50_warm_s": round(lrr_p50_warm, 4),
         "pq_fullscan_per_q_s": round(pq_fullscan_per_q, 4),
         "ref_note": ref_note,
     }
