@@ -745,7 +745,9 @@ def gc_retired(index_dir: str) -> int:
     return removed
 
 
-def _merge_tier(spark: SparkSession, index_dir: str, tier: list[dict]) -> None:
+def _merge_tier(
+    spark: SparkSession, index_dir: str, tier: list[dict], gc: bool = True
+) -> None:
     """K-way-merge one tier's generations into a single merged
     generation: the tier shards' segment BLOCKS are re-grouped under
     fresh merged shard ids (whole old shards assigned contiguously in
@@ -865,7 +867,8 @@ def _merge_tier(spark: SparkSession, index_dir: str, tier: list[dict]) -> None:
             "retires_gen_bases": [int(g["shard_base"]) for g in tier],
         },
     )
-    gc_retired(index_dir)
+    if gc:
+        gc_retired(index_dir)
 
 
 def compact_generations(
@@ -873,6 +876,7 @@ def compact_generations(
     index_dir: str,
     tier_k: int = 4,
     max_merges: int | None = None,
+    gc: bool = True,
 ) -> int:
     """Size-tiered LSM compaction: while any size class holds ≥
     ``tier_k`` live generations, k-way-merge the ``tier_k`` smallest of
@@ -893,14 +897,24 @@ def compact_generations(
     :func:`_merge_tier` for the per-merge crash-safety protocol. A
     crashed compaction leaves only invisible garbage (staged dirs,
     orphaned ``compact-*`` manifest rows) that this function GCs on
-    its next run."""
+    its next run.
+
+    ``gc=False`` defers deletion of retired shard directories (the
+    post-commit cleanup only — commits are unaffected): retired dirs
+    are invisible to every reader that re-plans (manifest-filtered),
+    but a LONG-RUNNING query planned before the commit may still hold
+    file handles into them; a deployment with concurrent readers
+    compacts with gc=False and calls :func:`gc_retired` from a quiet
+    window once in-flight readers drain — the standard LSM
+    reader-grace discipline."""
     if tier_k < 2:
         raise ValueError(f"tier_k must be >= 2, got {tier_k}")
     # recovery: leftover stage dirs + retired dirs from a killed run
     for name in os.listdir(index_dir):
         if name.startswith("_stage_compact_"):
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
-    gc_retired(index_dir)
+    if gc:
+        gc_retired(index_dir)
     merges = 0
     while max_merges is None or merges < max_merges:
         gens = _live_generations(spark, index_dir)
@@ -922,7 +936,7 @@ def compact_generations(
                 break
         if tier is None:
             break
-        _merge_tier(spark, index_dir, tier)
+        _merge_tier(spark, index_dir, tier, gc=gc)
         merges += 1
     return merges
 

@@ -443,3 +443,57 @@ def test_local_ivfpq_rerank_equals_distributed_search(spark, tmp_path):
         similarity.LocalIVFPQProbe(d2).search(qs[0], k=5, rerank=30)
     idx.table.unpersist()
     emb.unpersist()
+
+
+def test_compaction_gc_deferral(spark, tmp_path):
+    """compact_generations(gc=False) commits the merge but leaves the
+    retired shard dirs on disk (the reader-grace window); every reader
+    path hides them via the live manifest, and an explicit gc_retired()
+    removes exactly them."""
+    import os
+
+    from semantic_search_engine_spark.operators.build import (
+        compact_generations,
+        finalize_index,
+        gc_retired,
+        ingest_generation,
+    )
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+    from semantic_search_engine_spark.sources import index_store
+
+    docs = generate_webtext(spark, 400).cache()
+    docs.count()
+    d = str(tmp_path / "idx")
+    for i in range(2):
+        part = docs.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
+        ingest_generation(part, d, num_shards=1, finalize=False)
+    assert compact_generations(spark, d, tier_k=2, gc=False) == 1
+
+    def seg_shards():
+        return {
+            int(nm.split("=")[1])
+            for nm in os.listdir(os.path.join(d, "segments"))
+            if nm.startswith("shard=")
+        }
+
+    retired = {
+        s
+        for c in index_store.compact_records(d)
+        for lo, hi in c["retires"]
+        for s in range(int(lo), int(hi))
+    }
+    assert retired and retired <= seg_shards()  # still on disk (grace)
+    # readers never see them: manifest, docmap, and serving are clean
+    live = {r["shard"] for r in index_store.read_manifest(spark, d).select("shard").distinct().collect()}
+    assert live.isdisjoint(retired)
+    stats = finalize_index(spark, d)
+    assert stats["n_docs"] == 400
+    dm = index_store.read_docmap(spark, d)
+    assert dm.count() == 400  # no double-surfaced docids
+    res = search_index_wand(IndexReader(spark, d), generate_queries()[:5])
+    assert res.count() > 0
+    # the deferred cleanup removes exactly the retired dirs
+    removed = gc_retired(d)
+    assert removed >= len(retired)
+    assert seg_shards().isdisjoint(retired)
+    docs.unpersist()
