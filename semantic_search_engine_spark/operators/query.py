@@ -472,8 +472,14 @@ def search_index_wand(
                     t2q.setdefault(t, []).append(qi)
         t2q_arr = {t: np.asarray(v, dtype=np.int64) for t, v in t2q.items()}
         sorted_terms = sorted(t2q_arr)
-        # chunk width bounds the matrix at |D| × chunk doubles
+        # chunk width bounds the matrix at |D| × chunk doubles — and the
+        # cell budget bounds it ABSOLUTELY (default 32M cells ≈ 256 MB
+        # float64 per task): a fat shard group at 100-TB scale shrinks
+        # the chunk instead of blowing task memory. Results are
+        # chunk-invariant (per-query columns are independent).
         chunk = max(1, int(os.environ.get("SSSE_WAND_VEC_CHUNK", "128")))
+        cell_budget = int(os.environ.get("SSSE_WAND_VEC_CELL_BUDGET", "32000000"))
+        chunk = max(1, min(chunk, cell_budget // max(D.size, 1)))
         out_qid, out_k, out_docid, out_score = [], [], [], []
         for c0 in range(0, n_q, chunk):
             c1 = min(c0 + chunk, n_q)

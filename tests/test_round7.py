@@ -132,7 +132,7 @@ def wand_index7(spark, tmp_path_factory):
     return d
 
 
-def test_wand_vectorized_identical(spark, wand_index7):
+def test_wand_vectorized_identical(spark, wand_index7, monkeypatch):
     """The cross-query vectorized kernel must produce rows AND scores
     EXACTLY equal (no rounding) to the per-query WAND loop — same
     float64 accumulation order, same boundary-tie handling — across
@@ -159,6 +159,11 @@ def test_wand_vectorized_identical(spark, wand_index7):
     assert rows(vectorized=True, keep_boundary_ties=True) == rows(
         vectorized=False, keep_boundary_ties=True
     )
+    # chunk invariance: a tiny absolute cell budget forces the kernel
+    # to shrink its (docs x queries) chunk per shard group; per-query
+    # columns are independent, so the rows must not move at all.
+    monkeypatch.setenv("SSSE_WAND_VEC_CELL_BUDGET", "2000")
+    assert rows(vectorized=True) == rows(vectorized=False)
 
 
 def test_wand_vectorized_auto_threshold(spark, wand_index7, monkeypatch):
