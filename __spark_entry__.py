@@ -221,6 +221,42 @@ def q_bm25_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_wand(spark, _WAND_CACHE[key])
 
 
+def q_bm25_snapshot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest/log SNAPSHOT end-to-end (sources/index_store.py:
+    snapshot_manifest): micro-batch ingests + tiered compaction, then
+    the epoch snapshot (manifest rewritten live-only, generations log
+    folded, CURRENT.json flipped), then one MORE ingest + compaction on
+    the folded state, finalize, serve. The same WAND query must
+    hash-match the all-at-once oracle — the snapshot is pure metadata
+    hygiene and can never move a result."""
+    from semantic_search_engine_spark.operators.build import (
+        compact_generations,
+        finalize_index,
+        ingest_generation,
+    )
+    from semantic_search_engine_spark.sources import index_store
+
+    key = f"snap:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        d = tempfile.mkdtemp(prefix="ssse_snap_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        for i in range(4):
+            ingest_generation(
+                docs.filter(F.col("url") % 5 == i), d, num_shards=2,
+                finalize=False, tag=f"g{i}",
+            )
+        compact_generations(spark, d, tier_k=2)
+        info = index_store.snapshot_manifest(spark, d)
+        assert info["epoch"] == 1 and info["records_after"] < info["records_before"]
+        ingest_generation(
+            docs.filter(F.col("url") % 5 == 4), d, num_shards=2, finalize=False
+        )
+        compact_generations(spark, d, tier_k=2)
+        finalize_index(spark, d)
+        _WAND_CACHE[key] = d
+    return _serve_wand(spark, _WAND_CACHE[key])
+
+
 def q_bm25_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: only docs containing every distinct
     query term — posting intersection as a countDistinct group-guard."""
@@ -1113,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_unordered_topk": q_bm25_near_unordered_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "bm25_compacted_topk": q_bm25_compacted_topk,
+        "bm25_snapshot_topk": q_bm25_snapshot_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
         "token_counts": q_token_counts,
@@ -1248,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_near_unordered_topk": _bm25_near_unordered_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "bm25_compacted_topk": _bm25_oracle(BM25_K),
+        "bm25_snapshot_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1 ORDER BY df DESC, term LIMIT 30

@@ -291,13 +291,38 @@ def build_segments(
     # are filtered as retired, so new work there would be invisible —
     # the one scenario is resuming a pre-compaction crashed build after
     # someone compacted over it; fail loudly instead of losing docs
-    for c in index_store.compact_records(index_dir):
-        for lo, hi in c.get("retires", []):
-            if lo_all < int(hi) and int(lo) < hi_all:
+    for lo, hi, why in index_store.retired_shard_ranges(index_dir):
+        if lo_all < hi and lo < hi_all:
+            raise ValueError(
+                f"shard range [{lo_all}, {hi_all}) overlaps range "
+                f"[{lo}, {hi}) retired by {why} — "
+                "retired ranges cannot be rebuilt"
+            )
+    # snapshot-floor backstop: a snapshot drops UNTAGGED retired
+    # records, so a range below the floor with no surviving record and
+    # no live manifest rows was retired before the snapshot — rebuild
+    # there would be invisible, same as the explicit check above
+    floor = index_store.snapshot_floors(index_dir)[0]
+    if lo_all < floor:
+        rec_overlap = any(
+            not g.get("retired")
+            and lo_all < int(g["shard_base"]) + int(g["num_shards"])
+            and int(g["shard_base"]) < hi_all
+            for g in index_store.read_generations(index_dir)
+        )
+        if not rec_overlap:
+            m = index_store.read_manifest(spark, index_dir)
+            has_rows = m is not None and bool(
+                m.filter((F.col("shard") >= lo_all) & (F.col("shard") < hi_all))
+                .limit(1)
+                .count()
+            )
+            if not has_rows:
                 raise ValueError(
-                    f"shard range [{lo_all}, {hi_all}) overlaps range "
-                    f"[{lo}, {hi}) retired by compaction {c['compact_id']} — "
-                    "retired ranges cannot be rebuilt"
+                    f"shard range [{lo_all}, {hi_all}) is below the snapshot "
+                    f"floor {floor} with no live generation record or manifest "
+                    "rows — it was retired before the snapshot and cannot be "
+                    "rebuilt"
                 )
     gen_range = (F.col("shard") >= lo_all) & (F.col("shard") < hi_all)
     # bundle shards into ~groups_per_cpu × parallelism Arrow groups
@@ -614,16 +639,21 @@ def ingest_generation(
         # compaction records included — their merged shard ranges must
         # never be reused) — an incomplete generation's reserved range
         # is never reused
-        shard_hwm, docid_hwm = 0, 0
+        # snapshot floors first: records dropped by a snapshot (untagged
+        # retired generations) must never shrink the hwm
+        shard_hwm, docid_hwm = index_store.snapshot_floors(index_dir)
         if manifest is not None:
             agg = manifest.agg(
                 F.max("last_docid").alias("d"), F.max("shard").alias("s")
             ).collect()[0]
-            shard_hwm, docid_hwm = int(agg["s"]) + 1, int(agg["d"]) + 1
+            shard_hwm = max(shard_hwm, int(agg["s"]) + 1)
+            docid_hwm = max(docid_hwm, int(agg["d"]) + 1)
         for g in all_records:
             shard_hwm = max(shard_hwm, int(g["shard_base"]) + int(g["num_shards"]))
-            if "compact_id" in g:
-                continue  # merged shards carry existing docids only
+            if "compact_id" in g or g.get("retired"):
+                # merged shards carry existing docids only; a snapshot's
+                # retired stub has no docid fields (floors cover it)
+                continue
             if "docid_ceiling" in g:
                 docid_hwm = max(docid_hwm, int(g["docid_ceiling"]))
             elif complete(g):
@@ -667,7 +697,7 @@ def _shard_hwm(spark: SparkSession, index_dir: str) -> int:
     """First unallocated shard id: max over the live manifest AND every
     log record (ingest or compaction — retired ranges are never
     reused)."""
-    hwm = 0
+    hwm = index_store.snapshot_floors(index_dir)[0]
     manifest = index_store.read_manifest(spark, index_dir)
     if manifest is not None:
         s = manifest.agg(F.max("shard")).collect()[0][0]
@@ -722,27 +752,13 @@ def _live_generations(spark: SparkSession, index_dir: str) -> list[dict]:
 def gc_retired(index_dir: str) -> int:
     """Delete segment/docmap dirs of shards retired by committed
     compactions (the post-commit cleanup; re-run on the next compaction
-    after a crash). Returns #dirs removed."""
-    ranges = [
-        (int(lo), int(hi))
-        for c in index_store.compact_records(index_dir)
-        for lo, hi in c.get("retires", [])
-    ]
-    removed = 0
-    if not ranges:
-        return 0
-    for sub in ("segments", "docmap"):
-        root = os.path.join(index_dir, sub)
-        if not os.path.isdir(root):
-            continue
-        for name in os.listdir(root):
-            if not name.startswith("shard="):
-                continue
-            s = int(name.split("=", 1)[1])
-            if any(lo <= s < hi for lo, hi in ranges):
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-                removed += 1
-    return removed
+    after a crash — and automatically by ``snapshot_manifest`` BEFORE
+    folding, while the retire ranges are still recorded). Returns
+    #dirs removed."""
+    return index_store.gc_shard_ranges(
+        index_dir,
+        [(lo, hi) for lo, hi, _ in index_store.retired_shard_ranges(index_dir)],
+    )
 
 
 def _merge_tier(

@@ -60,8 +60,27 @@ def _p(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, name)
 
 
+def current_epoch(index_dir: str) -> int:
+    """Snapshot epoch from the CURRENT.json pointer (LevelDB-style);
+    0 = the legacy paths ``manifest/`` + ``generations.jsonl`` (no
+    snapshot has ever run)."""
+    import json
+
+    p = _p(index_dir, "CURRENT.json")
+    if not os.path.isfile(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["epoch"])
+
+
 def manifest_dir(index_dir: str) -> str:
-    return _p(index_dir, "manifest")
+    n = current_epoch(index_dir)
+    return _p(index_dir, "manifest" if n == 0 else f"manifest-{n}")
+
+
+def _gen_log_path(index_dir: str, epoch: int | None = None) -> str:
+    n = current_epoch(index_dir) if epoch is None else epoch
+    return _p(index_dir, "generations.jsonl" if n == 0 else f"generations-{n}.jsonl")
 
 
 def compact_records(index_dir: str) -> list[dict]:
@@ -79,10 +98,55 @@ def ingest_records(index_dir: str) -> list[dict]:
 def retired_gen_bases(index_dir: str) -> set[int]:
     """shard_base of every generation (ingest or merged) replaced by a
     committed compaction — its manifest rows are gone, but a tagged
-    replay must still see it as complete."""
-    return {
+    replay must still see it as complete. Includes generations a
+    snapshot folded to a ``retired: true`` stub (tagged generations
+    whose compaction record was dropped by :func:`snapshot_manifest`)."""
+    bases = {
         int(b) for c in compact_records(index_dir) for b in c.get("retires_gen_bases", [])
     }
+    bases |= {
+        int(g["shard_base"]) for g in read_generations(index_dir) if g.get("retired")
+    }
+    return bases
+
+
+def retired_shard_ranges(index_dir: str) -> list[tuple[int, int, str]]:
+    """Every shard range [lo, hi) known to be retired — from committed
+    compaction records AND from snapshot-folded ``retired: true`` stubs
+    — with a provenance string for error messages. The rebuild-refusal
+    check in build_segments must consult BOTH sources or a
+    post-snapshot resume could silently rebuild a compacted-away
+    range."""
+    out = [
+        (int(lo), int(hi), f"compaction {c['compact_id']}")
+        for c in compact_records(index_dir)
+        for lo, hi in c.get("retires", [])
+    ]
+    out += [
+        (
+            int(g["shard_base"]),
+            int(g["shard_base"]) + int(g["num_shards"]),
+            f"snapshot-folded retired generation (tag={g.get('tag')!r})",
+        )
+        for g in read_generations(index_dir)
+        if g.get("retired")
+    ]
+    return out
+
+
+def snapshot_floors(index_dir: str) -> tuple[int, int]:
+    """(shard_floor, docid_floor) from the newest snapshot header: the
+    allocation high-water marks at snapshot time. Records the snapshot
+    dropped (untagged retired generations) are below these floors, so
+    hwm computations seed from them. (0, 0) when no snapshot ran."""
+    import json
+
+    p = _p(index_dir, f"snapshot-{current_epoch(index_dir)}.json")
+    if not os.path.isfile(p):
+        return (0, 0)
+    with open(p) as f:
+        h = json.load(f)
+    return (int(h["shard_floor"]), int(h["docid_floor"]))
 
 
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -148,12 +212,184 @@ def append_manifest(spark: SparkSession, index_dir: str, rows: list[dict]) -> No
     df.coalesce(1).write.mode("append").parquet(d)
 
 
+def gc_shard_ranges(index_dir: str, ranges: list[tuple[int, int]]) -> int:
+    """Delete segment/docmap dirs whose shard id falls in any of
+    ``ranges`` — the physical cleanup behind both compaction GC
+    (operators/build.py:gc_retired) and the pre-snapshot sweep.
+    Returns #dirs removed."""
+    removed = 0
+    if not ranges:
+        return 0
+    for sub in ("segments", "docmap"):
+        root = _p(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if not name.startswith("shard="):
+                continue
+            s = int(name.split("=", 1)[1])
+            if any(lo <= s < hi for lo, hi in ranges):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed += 1
+    return removed
+
+
+_MANIFEST_COLS = [c.split()[0] for c in MANIFEST_SCHEMA.split(", ")]
+
+
+def snapshot_manifest(spark: SparkSession, index_dir: str) -> dict:
+    """Fold the manifest + generations log to LIVE state under a new
+    epoch — the LSM manifest hygiene :func:`read_manifest` documents:
+    without it, every committed compaction adds retire-range predicates
+    to every future manifest read and a log line that lives forever, so
+    a long-lived deployment's metadata read cost grows with its
+    compaction COUNT instead of its live size.
+
+    What the snapshot writes (all invisible until the commit):
+      * ``manifest-{n}/`` — the live rows only (retired ranges and
+        orphaned ``compact-*`` attempts physically gone), with
+        committed ``compact-<id>`` batch_ids rewritten to
+        ``snapped-compact-<id>`` so post-snapshot reads need no
+        committed-id allowlist for them.
+      * ``generations-{n}.jsonl`` — live generation records kept
+        verbatim (tags and incomplete allocations preserved, so resume
+        and tag-replay semantics are unchanged); live merged
+        generations keep their record minus the ``retires`` payload;
+        RETIRED tagged generations fold to a ``retired: true`` stub
+        (replay protection + rebuild refusal); retired untagged
+        records drop entirely.
+      * ``snapshot-{n}.json`` — the allocation floors
+        (shard/docid high-water marks at snapshot time), so dropping
+        records can never shrink the hwm and cause range reuse.
+
+    Commit protocol (single-writer, like compaction): the three
+    epoch-{n} artifacts are fully written first, then ONE atomic
+    ``os.replace`` of ``CURRENT.json`` flips every reader to the new
+    epoch. A crash before the flip leaves the old epoch fully intact
+    (stale epoch-{n} files are swept and rewritten by the next
+    attempt); a crash after it leaves old-epoch files as garbage this
+    function GCs on its next run. Retired shard DIRS are GC'd before
+    folding (must happen while the retire ranges are still known) —
+    a deployment deferring GC for reader grace (compact gc=False)
+    should snapshot from the same quiet window.
+    """
+    import json
+
+    old_epoch = current_epoch(index_dir)
+    n = old_epoch + 1
+    # pre-snapshot physical GC: after folding, the retire ranges are
+    # forgotten, so any not-yet-GC'd retired dirs must go NOW
+    gc_shard_ranges(
+        index_dir, [(lo, hi) for lo, hi, _ in retired_shard_ranges(index_dir)]
+    )
+    # sweep stale artifacts of a crashed prior attempt at this epoch
+    new_mdir = _p(index_dir, f"manifest-{n}")
+    shutil.rmtree(new_mdir, ignore_errors=True)
+    for stale in (_gen_log_path(index_dir, n), _p(index_dir, f"snapshot-{n}.json")):
+        if os.path.isfile(stale):
+            os.remove(stale)
+
+    records = read_generations(index_dir)
+    retired = retired_gen_bases(index_dir)
+    live = read_manifest(spark, index_dir)
+
+    # allocation floors: max over live manifest, every record, prior floors
+    shard_floor, docid_floor = snapshot_floors(index_dir)
+    if live is not None:
+        agg = live.agg(
+            F.max("shard").alias("s"), F.max("last_docid").alias("d")
+        ).collect()[0]
+        if agg["s"] is not None:
+            shard_floor = max(shard_floor, int(agg["s"]) + 1)
+            docid_floor = max(docid_floor, int(agg["d"]) + 1)
+    for g in records:
+        shard_floor = max(shard_floor, int(g["shard_base"]) + int(g["num_shards"]))
+        if "docid_ceiling" in g:
+            docid_floor = max(docid_floor, int(g["docid_ceiling"]))
+
+    new_records: list[dict] = []
+    for g in records:
+        if int(g["shard_base"]) in retired:
+            if "tag" in g and "compact_id" not in g:
+                # tagged retired generation: its docs live on in merged
+                # shards — a replay of this tag must still be skipped
+                new_records.append(
+                    {
+                        "shard_base": int(g["shard_base"]),
+                        "num_shards": int(g["num_shards"]),
+                        "tag": g["tag"],
+                        "retired": True,
+                    }
+                )
+            continue  # untagged retired / re-merged: floors cover the hwm
+        if "compact_id" in g:
+            new_records.append(
+                {k: v for k, v in g.items() if k not in ("retires", "retires_gen_bases")}
+            )
+        else:
+            new_records.append(dict(g))
+
+    if live is not None:
+        (
+            live.withColumn(
+                "batch_id",
+                F.when(
+                    F.col("batch_id").startswith("compact-"),
+                    F.concat(F.lit("snapped-"), F.col("batch_id")),
+                ).otherwise(F.col("batch_id")),
+            )
+            .select(*_MANIFEST_COLS)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(new_mdir)
+        )
+    with open(_gen_log_path(index_dir, n), "w") as f:
+        for rec in new_records:
+            f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    with open(_p(index_dir, f"snapshot-{n}.json"), "w") as f:
+        json.dump({"epoch": n, "shard_floor": shard_floor, "docid_floor": docid_floor}, f)
+        f.flush()
+        os.fsync(f.fileno())
+
+    # THE commit: one atomic pointer flip
+    tmp = _p(index_dir, "CURRENT.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": n}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _p(index_dir, "CURRENT.json"))
+
+    # post-commit GC of every non-current epoch's artifacts (a crash
+    # here leaves garbage the next snapshot sweeps the same way)
+    for name in os.listdir(index_dir):
+        full = _p(index_dir, name)
+        if name == "manifest" or (
+            name.startswith("manifest-") and name != f"manifest-{n}"
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name == "generations.jsonl" or (
+            name.startswith("generations-") and name != f"generations-{n}.jsonl"
+        ):
+            os.remove(full)
+        elif name.startswith("snapshot-") and name != f"snapshot-{n}.json":
+            os.remove(full)
+    return {
+        "epoch": n,
+        "records_before": len(records),
+        "records_after": len(new_records),
+        "shard_floor": shard_floor,
+        "docid_floor": docid_floor,
+    }
+
+
 def read_generations(index_dir: str) -> list[dict]:
     """LSM generation log (append_index bookkeeping): one JSON line per
     appended corpus generation, written before its first batch."""
     import json
 
-    p = _p(index_dir, "generations.jsonl")
+    p = _gen_log_path(index_dir)
     if not os.path.isfile(p):
         return []
     with open(p) as f:
@@ -163,7 +399,7 @@ def read_generations(index_dir: str) -> list[dict]:
 def append_generation(index_dir: str, rec: dict) -> None:
     import json
 
-    with open(_p(index_dir, "generations.jsonl"), "a") as f:
+    with open(_gen_log_path(index_dir), "a") as f:
         f.write(json.dumps(rec) + "\n")
 
 
