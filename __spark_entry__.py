@@ -720,6 +720,101 @@ def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", t.alias("text"))
 
 
+PII_STEP_IPV6, PII_STEP_MAC, PII_STEP_CC, PII_STEP_SSN = 6, 7, 8, 9
+
+
+def _docs_with_pii_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended PII view: the v1 email/IPv4/phone appends plus
+    deterministic ipv6 / mac / credit-card / SSN strings by doc_id
+    residue (6/7/8/9 — overlapping 3/4/5, so multi-category docs
+    exercise the masking order)."""
+    docs = _docs_with_pii(spark, sf_dir)
+    i = F.col("doc_id")
+    ipv6 = F.concat(
+        F.lit(" v6 2001:0db8:85a3:0000:0000:8a2e:0370:"),
+        (1000 + i % 9000).cast("string"),
+    )
+    mac = F.concat(
+        F.lit(" mac 00:1b:44:11:3a:"), F.lpad((i % 100).cast("string"), 2, "0")
+    )
+    cc = F.concat(
+        F.lit(" card 4111-1111-1111-"), F.lpad((i % 10000).cast("string"), 4, "0")
+    )
+    ssn = F.concat(
+        F.lit(" ssn "), F.lpad((i % 900).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((i % 90).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((i % 9000).cast("string"), 4, "0"),
+    )
+    t = F.concat(
+        F.col("text"),
+        F.when(i % PII_STEP_IPV6 == 0, ipv6).otherwise(F.lit("")),
+        F.when(i % PII_STEP_MAC == 0, mac).otherwise(F.lit("")),
+        F.when(i % PII_STEP_CC == 0, cc).otherwise(F.lit("")),
+        F.when(i % PII_STEP_SSN == 0, ssn).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_pii_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended PII masking (PII_PATTERNS_V2: email, full-form IPv6,
+    MAC, IPv4, grouped credit card, SSN, phone) — same one-scan
+    zero-shuffle chained-codegen plan as v1; the oracle SQL is
+    GENERATED from the same pattern tuple (see _pii_v2_oracle_sql), so
+    category set, order, and pattern strings cannot drift."""
+    return textstats.pii_stats(
+        _docs_with_pii_v2(spark, sf_dir), patterns=textstats.PII_PATTERNS_V2
+    )
+
+
+def _pii_v2_oracle_sql() -> str:
+    """DuckDB twin of q_pii_stats_v2, generated from PII_PATTERNS_V2:
+    one CTE per masking stage (counts taken on each stage's RUNNING
+    text, exactly the operator's semantics)."""
+    pv = f"""
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % {PII_STEP_EMAIL} = 0
+         THEN ' contact u' || doc_id::VARCHAR || '@ex-' || (doc_id % 9)::VARCHAR || '.org'
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_IP} = 0
+         THEN ' node 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_PHONE} = 0
+         THEN ' tel +1 555 0' || (100 + doc_id % 900)::VARCHAR
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_IPV6} = 0
+         THEN ' v6 2001:0db8:85a3:0000:0000:8a2e:0370:' || (1000 + doc_id % 9000)::VARCHAR
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_MAC} = 0
+         THEN ' mac 00:1b:44:11:3a:' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_CC} = 0
+         THEN ' card 4111-1111-1111-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE '' END ||
+    CASE WHEN doc_id % {PII_STEP_SSN} = 0
+         THEN ' ssn ' || lpad((doc_id % 900)::VARCHAR, 3, '0') || '-'
+              || lpad((doc_id % 90)::VARCHAR, 2, '0') || '-'
+              || lpad((doc_id % 9000)::VARCHAR, 4, '0')
+         ELSE '' END AS t0
+  FROM documents"""
+    ctes = [f"pv AS ({pv})"]
+    pats = textstats.PII_PATTERNS_V2
+    for k, (name, pat) in enumerate(pats):
+        src = "pv" if k == 0 else f"r{k - 1}"
+        ctes.append(
+            f"r{k} AS (SELECT *, regexp_replace(t{k}, '{pat}', "
+            f"'<{name.upper()}>', 'g') AS t{k + 1} FROM {src})"
+        )
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(t{k}, '{pat}'))::BIGINT AS n_{name}"
+        for k, (name, pat) in enumerate(pats)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id,\n       {counts},\n       t{len(pats)} AS redacted"
+        + f"\nFROM r{len(pats) - 1}"
+    )
+
+
 def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/Dolma-style PII masking: per-doc email/IPv4/phone match
     counts + the redacted text (operators/textstats.py:pii_stats —
@@ -1162,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
         "pii_stats": q_pii_stats,
+        "pii_stats_v2": q_pii_stats_v2,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
         "dedup_exact": q_dedup_exact,
@@ -1420,6 +1516,7 @@ SELECT doc_id,
        regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
 FROM r2
 """,
+        "pii_stats_v2": _pii_v2_oracle_sql(),
         "corpus_filter_funnel": f"""
 WITH crawl AS (
   SELECT doc_id, text FROM documents

@@ -433,13 +433,38 @@ PII_PATTERNS = (
     ("phone", r"\+[0-9]{1,3}([ -][0-9]{2,4}){2,4}"),
 )
 
+# Extended category set (pii_stats(patterns=PII_PATTERNS_V2)) — same
+# portability rules. Order is load-bearing:
+#   * ipv6 before mac: a full-form IPv6 contains colon-separated hex
+#     pairs a MAC pattern could bite into; masking IPv6 first removes
+#     them. Only the FULL 8-group form is matched — the compressed
+#     `::` form would need alternations that also match clock times
+#     ("12:30:45"), a worse trade than missing compressed literals.
+#   * cc before ssn: both are digit-dash shapes; credit cards are the
+#     longer match and must not be split into an SSN + leftovers.
+#   * phone last, as in v1 (its `+` anchor never clashes, but the
+#     running-text count semantics stay comparable across versions).
+PII_PATTERNS_V2 = (
+    PII_PATTERNS[0],  # email
+    ("ipv6", r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"),
+    ("mac", r"([0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}"),
+    PII_PATTERNS[1],  # ipv4
+    ("cc", r"([0-9]{4}[ -]){3}[0-9]{4}"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    PII_PATTERNS[2],  # phone
+)
+
 
 def pii_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple = PII_PATTERNS,
 ) -> DataFrame:
-    """(id, n_email, n_ipv4, n_phone, redacted) — per-doc PII match
-    counts and the text with every match masked as ``<EMAIL>`` /
-    ``<IPV4>`` / ``<PHONE>`` (applied in PII_PATTERNS order, the same
+    """(id, n_<category>..., redacted) — per-doc PII match counts and
+    the text with every match masked as ``<EMAIL>`` / ``<IPV4>`` / ...
+    (applied in ``patterns`` order — PII_PATTERNS by default,
+    PII_PATTERNS_V2 for the extended ipv6/mac/cc/ssn set — the same
     sequential-rewrite semantics as the CCNet/Dolma cleaners).
 
     100-TB shape: per-doc signals must not shuffle — this is ONE
@@ -457,7 +482,7 @@ def pii_stats(
     ``<IPV4>`` in the output)."""
     red = F.col(text_col)
     counts = []
-    for name, pat in PII_PATTERNS:
+    for name, pat in patterns:
         counts.append(
             F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
             .cast("long")

@@ -28,9 +28,18 @@ every ingest: whenever a size class holds ≥ K live generations they
 k-way-merge — O(tier) I/O, a no-op when no tier is full — so a stream
 that runs forever keeps live generations (and therefore probe read
 amplification) bounded at O(K·log N) WITHOUT ever paying finalize's
-O(index) rewrite per batch. The production shape for continuous
-ingest is ``finalize_every=0, compact_tier_k=K`` + one finalize per
-serving snapshot.
+O(index) rewrite per batch. ``snapshot_every=M`` completes the
+forever-stream story on the METADATA axis: every Mth non-empty batch
+folds the manifest + generations log to live state
+(sources/index_store.py:snapshot_manifest) — without it, each
+committed compaction leaves retire predicates and log lines that
+every later batch's manifest read must re-apply, so a stream's
+metadata cost would grow with its compaction count. The production
+shape for continuous ingest is ``finalize_every=0, compact_tier_k=K,
+snapshot_every=M`` + one finalize per serving snapshot. (Snapshot
+GCs retired shard dirs as part of folding; with long-running
+concurrent readers, prefer explicit quiet-window snapshots —
+the same reader-grace caveat as ``compact_generations(gc=True)``.)
 """
 
 from __future__ import annotations
@@ -40,6 +49,7 @@ import os
 from pyspark.sql import DataFrame
 
 from ..operators.build import compact_generations, ingest_generation
+from ..sources import index_store
 
 
 def stream_ingest(
@@ -49,6 +59,7 @@ def stream_ingest(
     checkpoint_dir: str | None = None,
     finalize_every: int = 1,
     compact_tier_k: int | None = None,
+    snapshot_every: int = 0,
     trigger: dict | None = None,
     text_col: str = "text",
     url_col: str = "url",
@@ -92,6 +103,10 @@ def stream_ingest(
             compact_generations(
                 batch_df.sparkSession, index_dir, tier_k=compact_tier_k
             )
+        if snapshot_every > 0 and state["batches"] % snapshot_every == 0:
+            # same single-writer guarantee; bounds the generations log
+            # and manifest predicates no matter how long the stream runs
+            index_store.snapshot_manifest(batch_df.sparkSession, index_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle).option("checkpointLocation", ckpt)
     if trigger:

@@ -409,6 +409,55 @@ def test_pii_stats_semantics(spark):
     assert "Exchange" not in plan  # zero shuffles: scan -> project only
 
 
+def test_pii_stats_v2_semantics(spark):
+    """PII_PATTERNS_V2 (email, full-form IPv6, MAC, IPv4, credit card,
+    SSN, phone): counts and redaction equal Python `re` with the same
+    patterns in the same sequential-rewrite order, over docs covering
+    each new category, masking-order hazards (MAC-like pairs inside an
+    IPv6; SSN-like runs inside a grouped card), and near-miss negatives
+    (a clock time is not an IPv6; a date is not an SSN). Plan stays
+    zero-shuffle."""
+    import re
+
+    from semantic_search_engine_spark.operators.textstats import (
+        PII_PATTERNS_V2,
+        pii_stats,
+    )
+    from semantic_search_engine_spark.plans import audit
+
+    rows = [
+        (0, "v6 up at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 ok"),
+        (1, "nic 00:1b:44:11:3a:b7 registered"),
+        (2, "card 4111-1111-1111-1234 and 4012 8888 8888 1881 on file"),
+        (3, "ssn 078-05-1120 leaked"),
+        (4, "all: a@b.io 10.0.0.1 +44 20 7946 0958 fe80:1:2:3:4:5:6:7 "
+            "aa-bb-cc-dd-ee-ff 5500-0000-0000-0004 219-09-9999"),
+        (5, "meeting at 12:30:45 on 2026-08-17 is fine"),  # negatives
+        (6, "v6-adjacent 1:2:3:4:5:6:7:8 then mac 01:02:03:04:05:06"),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = pii_stats(docs, patterns=PII_PATTERNS_V2)
+    got = {r["doc_id"]: r for r in res.collect()}
+    for did, text in rows:
+        red = text
+        want_counts = {}
+        for name, pat in PII_PATTERNS_V2:
+            want_counts[name] = len(re.findall(pat, red))
+            red = re.sub(pat, f"<{name.upper()}>", red)
+        g = got[did]
+        for name, _ in PII_PATTERNS_V2:
+            assert g[f"n_{name}"] == want_counts[name], (did, name)
+        assert g["redacted"] == red, did
+    # the near-miss doc must be untouched
+    assert got[5]["redacted"] == rows[5][1]
+    # every new category fired somewhere
+    for cat in ("ipv6", "mac", "cc", "ssn"):
+        assert sum(g[f"n_{cat}"] for g in got.values()) >= 2, cat
+    plan = audit.physical_plan(res)
+    assert "Exchange" not in plan
+
+
 # ------------------------------------------------- local IVF-PQ exact rerank
 
 def test_local_ivfpq_rerank_equals_distributed_search(spark, tmp_path):

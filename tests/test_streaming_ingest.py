@@ -244,3 +244,58 @@ def test_stream_ingest_with_tiered_compaction(spark, tmp_path_factory):
     b = _wand_by_url(spark, idx, queries)
     assert (a["url"].values == b["url"].values).all()
     assert (a["score"].values == b["score"].values).all()
+
+
+def test_stream_ingest_with_snapshot(spark, tmp_path_factory):
+    """The forever-stream shape on BOTH axes: compact_tier_k bounds
+    data read amplification, snapshot_every bounds METADATA — after the
+    stream drains, the epoch has advanced, the folded log carries no
+    retire payloads, tag-replay protection survives the fold (a restart
+    over the same source re-ingests nothing), and one finalize serves
+    rank-identical to an all-at-once build."""
+    from semantic_search_engine_spark.operators.build import _live_generations
+
+    src = str(tmp_path_factory.mktemp("snapst_src"))
+    idx = str(tmp_path_factory.mktemp("snapst_idx"))
+    full = str(tmp_path_factory.mktemp("snapst_full"))
+
+    n_files = 6
+    per = N // n_files
+    for i in range(n_files):
+        generate_webtext(spark, per, start=i * per).write.mode("append").parquet(src)
+    ckpt = str(tmp_path_factory.mktemp("snapst_ckpt"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_ingest(
+            stream, idx, num_shards_per_batch=1, finalize_every=0,
+            compact_tier_k=2, snapshot_every=2, checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+
+    drain()
+    assert index_store.current_epoch(idx) >= 1  # snapshots ran in-stream
+    recs = index_store.read_generations(idx)
+    assert all("retires" not in g for g in recs)  # log is folded
+    live = _live_generations(spark, idx)
+    assert sum(g["n_docs"] for g in live) == N
+
+    # restart over the SAME checkpoint: nothing re-delivered, and the
+    # folded tag stubs would catch any replay as a no-op anyway
+    n_docs_before = sum(g["n_docs"] for g in live)
+    drain()
+    assert sum(g["n_docs"] for g in _live_generations(spark, idx)) == n_docs_before
+
+    stats = finalize_index(spark, idx)
+    assert stats["n_docs"] == N
+    build_index(generate_webtext(spark, N), full, num_shards=3)
+    queries = generate_queries()[:8]
+    a = _wand_by_url(spark, full, queries)
+    b = _wand_by_url(spark, idx, queries)
+    assert (a["url"].values == b["url"].values).all()
+    assert (a["score"].values == b["score"].values).all()
