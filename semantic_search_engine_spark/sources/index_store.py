@@ -237,7 +237,9 @@ def gc_shard_ranges(index_dir: str, ranges: list[tuple[int, int]]) -> int:
 _MANIFEST_COLS = [c.split()[0] for c in MANIFEST_SCHEMA.split(", ")]
 
 
-def snapshot_manifest(spark: SparkSession, index_dir: str) -> dict:
+def snapshot_manifest(
+    spark: SparkSession, index_dir: str, tag_horizon: int | None = None
+) -> dict:
     """Fold the manifest + generations log to LIVE state under a new
     epoch — the LSM manifest hygiene :func:`read_manifest` documents:
     without it, every committed compaction adds retire-range predicates
@@ -272,6 +274,16 @@ def snapshot_manifest(spark: SparkSession, index_dir: str) -> dict:
     folding (must happen while the retire ranges are still known) —
     a deployment deferring GC for reader grace (compact gc=False)
     should snapshot from the same quiet window.
+
+    ``tag_horizon``: retired-tag stubs are replay protection, and by
+    default ALL are kept — so under tagged micro-batch ingest the
+    folded log still grows one stub per retired tag (bounded per
+    batch, but linear in stream age). A caller whose delivery layer
+    already fences old replays (Structured Streaming's checkpoint
+    commits mean only the newest un-checkpointed batch can ever
+    replay) can set ``tag_horizon=N`` to keep only the N newest
+    stubs (log order): a replay of a dropped tag would RE-INGEST its
+    docs, so this is an explicit contract, never a default.
     """
     import json
 
@@ -308,11 +320,13 @@ def snapshot_manifest(spark: SparkSession, index_dir: str) -> dict:
             docid_floor = max(docid_floor, int(g["docid_ceiling"]))
 
     new_records: list[dict] = []
+    stub_positions: list[int] = []
     for g in records:
         if int(g["shard_base"]) in retired:
             if "tag" in g and "compact_id" not in g:
                 # tagged retired generation: its docs live on in merged
                 # shards — a replay of this tag must still be skipped
+                stub_positions.append(len(new_records))
                 new_records.append(
                     {
                         "shard_base": int(g["shard_base"]),
@@ -328,6 +342,11 @@ def snapshot_manifest(spark: SparkSession, index_dir: str) -> dict:
             )
         else:
             new_records.append(dict(g))
+    if tag_horizon is not None and len(stub_positions) > tag_horizon:
+        drop = set(
+            stub_positions[: len(stub_positions) - max(int(tag_horizon), 0)]
+        )
+        new_records = [r for i, r in enumerate(new_records) if i not in drop]
 
     if live is not None:
         (

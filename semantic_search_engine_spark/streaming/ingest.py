@@ -60,6 +60,7 @@ def stream_ingest(
     finalize_every: int = 1,
     compact_tier_k: int | None = None,
     snapshot_every: int = 0,
+    snapshot_tag_horizon: int | None = None,
     trigger: dict | None = None,
     text_col: str = "text",
     url_col: str = "url",
@@ -105,8 +106,17 @@ def stream_ingest(
             )
         if snapshot_every > 0 and state["batches"] % snapshot_every == 0:
             # same single-writer guarantee; bounds the generations log
-            # and manifest predicates no matter how long the stream runs
-            index_store.snapshot_manifest(batch_df.sparkSession, index_dir)
+            # and manifest predicates no matter how long the stream
+            # runs. snapshot_tag_horizon (opt-in) additionally bounds
+            # the retired-tag stubs: sound here ONLY because the
+            # streaming checkpoint fences replays of committed batches
+            # — a replay can target at most the newest un-checkpointed
+            # batch, never a tag that has since been retired AND
+            # snapshotted past. Horizon ≥ snapshot_every covers every
+            # tag that could still be in flight.
+            index_store.snapshot_manifest(
+                batch_df.sparkSession, index_dir, tag_horizon=snapshot_tag_horizon
+            )
 
     writer = stream_df.writeStream.foreachBatch(handle).option("checkpointLocation", ckpt)
     if trigger:

@@ -157,6 +157,18 @@ def test_snapshot_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch)
     assert info2["epoch"] == 2 and index_store.current_epoch(d) == 2
     assert not os.path.exists(os.path.join(d, "manifest-1"))
     assert _served_rows(spark, d, queries) == want
+    # tag_horizon: epoch 3 keeps only the newest retired-tag stub;
+    # serving is unaffected (stubs are pure replay bookkeeping)
+    stubs_before = [
+        g["tag"] for g in index_store.read_generations(d) if g.get("retired")
+    ]
+    assert len(stubs_before) >= 2
+    index_store.snapshot_manifest(spark, d, tag_horizon=1)
+    stubs_after = [
+        g["tag"] for g in index_store.read_generations(d) if g.get("retired")
+    ]
+    assert stubs_after == stubs_before[-1:]
+    assert _served_rows(spark, d, queries) == want
     docs.unpersist()
 
 

@@ -273,8 +273,8 @@ def test_stream_ingest_with_snapshot(spark, tmp_path_factory):
         )
         q = stream_ingest(
             stream, idx, num_shards_per_batch=1, finalize_every=0,
-            compact_tier_k=2, snapshot_every=2, checkpoint_dir=ckpt,
-            trigger={"availableNow": True},
+            compact_tier_k=2, snapshot_every=2, snapshot_tag_horizon=2,
+            checkpoint_dir=ckpt, trigger={"availableNow": True},
         )
         q.awaitTermination(300)
 
@@ -282,6 +282,9 @@ def test_stream_ingest_with_snapshot(spark, tmp_path_factory):
     assert index_store.current_epoch(idx) >= 1  # snapshots ran in-stream
     recs = index_store.read_generations(idx)
     assert all("retires" not in g for g in recs)  # log is folded
+    # tag_horizon bounds replay stubs (sound: the checkpoint fences
+    # replays of committed batches, so only the newest tags matter)
+    assert sum(1 for g in recs if g.get("retired")) <= 2
     live = _live_generations(spark, idx)
     assert sum(g["n_docs"] for g in live) == N
 
