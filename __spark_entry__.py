@@ -623,6 +623,22 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_N = 5
+DECONTAM_EVAL_MOD = 97
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/Pile-style train-test decontamination: per-doc distinct
+    5-gram overlap vs an evaluation set (deterministic stand-in:
+    docs with doc_id % 97 == 0), with the contaminated flag a training
+    pipeline filters on (operators/textstats.py:decontaminate — eval
+    vocabulary broadcast as ONE row, corpus side scan→project with
+    zero shuffles/explodes)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    return textstats.decontaminate(docs, ev, n=DECONTAM_N)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-doc repetition signals over bigrams: total
     bigram occurrences, top-bigram fraction, duplicate-bigram fraction
@@ -1254,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "text_bigrams": q_text_bigrams,
         "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
         "pii_stats": q_pii_stats,
@@ -1424,6 +1441,25 @@ idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok WHERE len(ts)
 bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
 SELECT bigram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
 FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "decontaminate": f"""
+WITH tokd AS (SELECT doc_id, {tok} AS ts FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+{DECONTAM_N - 1}], ' ') AS gm
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {DECONTAM_N} + 2)) AS i
+        FROM tokd WHERE len(ts) >= {DECONTAM_N})
+),
+ev AS (SELECT DISTINCT gm FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+per AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams, count(e.gm)::BIGINT AS n_overlap
+  FROM grams g LEFT JOIN ev e USING (gm) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(round(p.n_overlap::DOUBLE / p.n_grams, 6), 0.0)::DOUBLE AS overlap_frac,
+       coalesce(p.n_overlap > 0, FALSE) AS contaminated
+FROM documents d LEFT JOIN per p USING (doc_id)
 """,
         "repetition_stats": f"""
 WITH tokd AS (SELECT doc_id, {tok} AS ts FROM documents),

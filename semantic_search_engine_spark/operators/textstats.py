@@ -419,6 +419,57 @@ def filter_funnel(
     return per.agg(*aggs)
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, n_overlap, overlap_frac, contaminated) — GPT-3/
+    Pile-style train-test DECONTAMINATION signal: for each training
+    document, how many of its DISTINCT adjacent-token n-grams occur
+    anywhere in the evaluation set (GPT-3 used 13-gram overlap to mark
+    training docs "dirty"; ``n`` is the analog knob). ``n_grams`` is
+    the doc's distinct-n-gram count, ``n_overlap`` the number of those
+    present in the eval vocabulary, ``contaminated`` = any overlap —
+    the flag a training pipeline filters or flags on.
+
+    100-TB shape: the asymmetry is the design point — the CORPUS is
+    huge but the eval set is small by construction (benchmarks are
+    thousands of documents), so the eval n-gram vocabulary is
+    collected once (one explode + one aggregate over the SMALL side)
+    and attached to every corpus row via a broadcast one-row
+    crossJoin (the ``unigram_logprob`` total-row precedent); per-doc
+    overlap is then ``array_intersect`` inside codegen. The corpus
+    side never shuffles, never explodes — scan → project, same class
+    as :func:`repetition_stats`. For an eval set too large to
+    broadcast, the fallback shape is explode + broadcast equi-join +
+    groupBy(id) — one corpus shuffle — but that regime means the
+    "eval set" is itself a corpus, which is not this operator's
+    contract (it raises nothing; the broadcast threshold is Spark's
+    to enforce and tune)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams_e = _ngram_array(tokens_col(F.col(eval_text_col)), n)
+    vocab = eval_docs.select(F.explode(grams_e).alias("g")).agg(
+        F.array_sort(F.collect_set("g")).alias("_eval_grams")
+    )
+    g = F.array_distinct(_ngram_array(tokens_col(F.col(text_col)), n))
+    n_g = F.size(g)
+    n_o = F.size(F.array_intersect(g, F.col("_eval_grams")))
+    return docs.crossJoin(F.broadcast(vocab)).select(
+        F.col(id_col),
+        n_g.cast("long").alias("n_grams"),
+        n_o.cast("long").alias("n_overlap"),
+        F.when(n_g > 0, F.round(n_o.cast("double") / n_g.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+        (n_o > 0).alias("contaminated"),
+    )
+
+
 # PII masking (the CCNet/Dolma pre-training hygiene stage): patterns
 # are deliberately engine-portable — no backreferences, no lookaround,
 # no \b (Java and RE2 agree on everything used here), so the SAME

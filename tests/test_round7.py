@@ -458,6 +458,55 @@ def test_pii_stats_v2_semantics(spark):
     assert "Exchange" not in plan
 
 
+def test_decontaminate_semantics(spark):
+    """decontaminate must equal a brute-force Python n-gram overlap:
+    distinct-n-gram counts, overlap vs the eval vocabulary, fraction,
+    and flag — over docs that fully overlap (eval members), partially
+    overlap (shared phrase), don't overlap, and are too short for any
+    n-gram. The corpus side attaches the eval vocabulary by broadcast
+    (BroadcastNestedLoopJoin), never a shuffle join."""
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.textstats import decontaminate
+    from semantic_search_engine_spark.plans import audit
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "a completely different sentence with no shared phrases at all"),
+        (2, "we saw the quick brown fox jumps over a fence yesterday morning"),
+        (3, "too short for grams"),
+        (4, ""),
+        (5, "the quick brown fox jumps over the lazy dog tonight again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.filter(F.col("doc_id").isin(0, 1))
+    n = 5
+    res = decontaminate(docs, ev, n=n)
+    got = {r["doc_id"]: r for r in res.collect()}
+
+    def grams(text):
+        ts = tokenize(text)
+        return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+    vocab = set().union(*(grams(t) for d, t in rows if d in (0, 1)))
+    for did, text in rows:
+        g = grams(text)
+        ov = len(g & vocab)
+        want = (
+            len(g), ov,
+            round(ov / len(g), 6) if g else 0.0,
+            ov > 0,
+        )
+        r = got[did]
+        assert (
+            r["n_grams"], r["n_overlap"], r["overlap_frac"], r["contaminated"]
+        ) == want, (did, want)
+    assert got[3]["n_grams"] == 0 and not got[3]["contaminated"]
+    assert got[2]["contaminated"] and got[2]["overlap_frac"] < 1.0
+    plan = audit.physical_plan(res)
+    assert "BroadcastNestedLoopJoin" in plan  # one-row eval vocab attach
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 # ------------------------------------------------- local IVF-PQ exact rerank
 
 def test_local_ivfpq_rerank_equals_distributed_search(spark, tmp_path):
