@@ -115,6 +115,45 @@ def test_snapshot_serves_identical_and_folds_log(spark, tmp_path_factory):
     extra.unpersist()
 
 
+def test_snapshot_over_pre_log_base_build(spark, tmp_path):
+    """A snapshot taken over a plain build_index index (the implicit
+    BASE generation — no generations-log record exists for it) must
+    change nothing: the base generation is re-derived from the live
+    manifest after the fold, later ingests allocate past it, and
+    compaction can still merge it away."""
+    from semantic_search_engine_spark.operators.build import (
+        _live_generations,
+        build_index,
+        compact_generations,
+        finalize_index,
+        ingest_generation,
+    )
+    from semantic_search_engine_spark.sources import index_store
+
+    docs = generate_webtext(spark, 300).cache()
+    docs.count()
+    d = str(tmp_path / "idx")
+    build_index(docs, d, num_shards=2)
+    queries = generate_queries(n_queries=10)
+    want = _served_rows(spark, d, queries)
+
+    info = index_store.snapshot_manifest(spark, d)
+    assert info["epoch"] == 1 and info["records_after"] == 0
+    assert _served_rows(spark, d, queries) == want
+    live = _live_generations(spark, d)
+    assert len(live) == 1 and live[0]["shard_base"] == 0  # base re-derived
+
+    extra = generate_webtext(spark, 100, seed=5).withColumn(
+        "url", F.concat(F.lit("z-"), F.col("url"))
+    )
+    ingest_generation(extra, d, num_shards=2, finalize=False)
+    assert index_store.ingest_records(d)[-1]["shard_base"] >= info["shard_floor"]
+    compact_generations(spark, d, tier_k=2)
+    stats = finalize_index(spark, d)
+    assert stats["n_docs"] == 400
+    docs.unpersist()
+
+
 def test_snapshot_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
     """A snapshot that dies before the CURRENT.json flip changes
     NOTHING for readers (old epoch fully intact); the retry sweeps the
