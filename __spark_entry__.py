@@ -636,7 +636,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles/explodes)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     ev = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
-    return textstats.decontaminate(docs, ev, n=DECONTAM_N)
+    res = textstats.decontaminate(docs, ev, n=DECONTAM_N)
+    # boolean → 0/1 at the contract boundary only: no other entry emits
+    # a boolean column, so don't make this one bet on how the driver's
+    # value-hash canonicalizes bools across pandas and DuckDB
+    return res.withColumn("contaminated", F.col("contaminated").cast("long"))
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,7 +1462,7 @@ SELECT d.doc_id,
        coalesce(p.n_grams, 0)::BIGINT AS n_grams,
        coalesce(p.n_overlap, 0)::BIGINT AS n_overlap,
        coalesce(round(p.n_overlap::DOUBLE / p.n_grams, 6), 0.0)::DOUBLE AS overlap_frac,
-       coalesce(p.n_overlap > 0, FALSE) AS contaminated
+       coalesce((p.n_overlap > 0)::BIGINT, 0)::BIGINT AS contaminated
 FROM documents d LEFT JOIN per p USING (doc_id)
 """,
         "repetition_stats": f"""
