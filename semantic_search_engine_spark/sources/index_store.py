@@ -238,7 +238,10 @@ _MANIFEST_COLS = [c.split()[0] for c in MANIFEST_SCHEMA.split(", ")]
 
 
 def snapshot_manifest(
-    spark: SparkSession, index_dir: str, tag_horizon: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    tag_horizon: int | None = None,
+    gc: bool = True,
 ) -> dict:
     """Fold the manifest + generations log to LIVE state under a new
     epoch — the LSM manifest hygiene :func:`read_manifest` documents:
@@ -381,7 +384,20 @@ def snapshot_manifest(
     os.replace(tmp, _p(index_dir, "CURRENT.json"))
 
     # post-commit GC of every non-current epoch's artifacts (a crash
-    # here leaves garbage the next snapshot sweeps the same way)
+    # here leaves garbage the next snapshot sweeps the same way).
+    # gc=False defers it — commits are unaffected, but a LONG-RUNNING
+    # reader that resolved manifest_dir() before the flip may still
+    # hold the old epoch's paths; same reader-grace discipline as
+    # compact_generations(gc=False): sweep from a quiet window (the
+    # next snapshot, or this function re-run) once readers drain.
+    if not gc:
+        return {
+            "epoch": n,
+            "records_before": len(records),
+            "records_after": len(new_records),
+            "shard_floor": shard_floor,
+            "docid_floor": docid_floor,
+        }
     for name in os.listdir(index_dir):
         full = _p(index_dir, name)
         if name == "manifest" or (

@@ -208,6 +208,23 @@ def test_snapshot_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch)
     ]
     assert stubs_after == stubs_before[-1:]
     assert _served_rows(spark, d, queries) == want
+    # gc=False defers the old-epoch sweep (reader grace): epoch-3
+    # artifacts stay on disk while readers already see epoch 4; the
+    # next gc=True snapshot sweeps them
+    index_store.snapshot_manifest(spark, d, gc=False)
+    assert index_store.current_epoch(d) == 4
+    assert os.path.isdir(os.path.join(d, "manifest-3"))
+    assert _served_rows(spark, d, queries) == want
+    index_store.snapshot_manifest(spark, d)
+    assert index_store.current_epoch(d) == 5
+    leftovers = [
+        nm for nm in os.listdir(d)
+        if (nm.startswith("manifest") and nm != "manifest-5")
+        or (nm.startswith("generations") and nm != "generations-5.jsonl")
+        or (nm.startswith("snapshot-") and nm != "snapshot-5.json")
+    ]
+    assert leftovers == []
+    assert _served_rows(spark, d, queries) == want
     docs.unpersist()
 
 
