@@ -894,6 +894,21 @@ def _docs_with_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dup)
 
 
+BOILERPLATE_N, BOILERPLATE_MIN_DF = 3, 2
+
+
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate fraction over the recrawl view (the
+    duplicated docs guarantee hot trigrams exist, so the signal is
+    non-vacuous): per doc, the fraction of trigram occurrences whose
+    trigram appears in ≥2 distinct docs
+    (operators/textstats.py:boilerplate_stats — the cross-doc axis
+    repetition_stats can't see)."""
+    return textstats.boilerplate_stats(
+        _docs_with_recrawl(spark, sf_dir), n=BOILERPLATE_N, min_df=BOILERPLATE_MIN_DF
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicate_groups(_docs_with_recrawl(spark, sf_dir))
 
@@ -1275,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": q_text_bigrams,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "boilerplate_stats": q_boilerplate_stats,
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
         "pii_stats": q_pii_stats,
@@ -1445,6 +1461,33 @@ idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok WHERE len(ts)
 bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
 SELECT bigram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
 FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "boilerplate_stats": f"""
+WITH crawl AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECRAWL_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {RECRAWL_STEP} = 0
+),
+tokd AS (SELECT doc_id, {tok} AS ts FROM crawl),
+g AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gm
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        FROM tokd WHERE len(ts) >= {BOILERPLATE_N})
+),
+hot AS (
+  SELECT gm FROM (SELECT gm, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+  WHERE df >= {BOILERPLATE_MIN_DF}
+),
+per AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams, count(h.gm)::BIGINT AS n_hot
+  FROM g LEFT JOIN hot h USING (gm) GROUP BY 1
+)
+SELECT c.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_hot, 0)::BIGINT AS n_hot,
+       coalesce(round(p.n_hot::DOUBLE / p.n_grams, 6), 0.0)::DOUBLE AS hot_frac
+FROM crawl c LEFT JOIN per p USING (doc_id)
 """,
         "decontaminate": f"""
 WITH tokd AS (SELECT doc_id, {tok} AS ts FROM documents),

@@ -470,6 +470,68 @@ def decontaminate(
     )
 
 
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, n_hot, hot_frac) — CROSS-document boilerplate
+    signal (the RefinedWeb/Lee-et-al. axis the in-doc
+    :func:`repetition_stats` can't see): the fraction of a document's
+    adjacent-n-gram OCCURRENCES whose n-gram appears in ≥ ``min_df``
+    distinct documents. High ``hot_frac`` marks navigation chrome,
+    license headers, templated spam — text duplicated ACROSS the
+    corpus even when no whole document is a duplicate. (Occurrence
+    fraction is the standard cheap proxy for positional coverage;
+    exact covered-character spans would need per-position bookkeeping
+    for little ranking benefit.)
+
+    Two corpus passes by necessity — the hot vocabulary does not exist
+    until the whole corpus has been counted: (1) explode n-grams →
+    groupBy(ngram) with a distinct-doc count, filtered to df ≥ min_df
+    (the hot set — df-thresholding makes it the sub-linear tail of the
+    n-gram distribution); (2) re-explode and LEFT-join the hot set,
+    then one groupBy(id). The hot-set join is not broadcast-hinted:
+    its size depends on min_df and corpus repetitiveness, exactly what
+    AQE's runtime broadcast decision is for. A left join against the
+    doc spine keeps too-short docs as explicit zero rows."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    grams = _ngram_array(tokens_col(F.col(text_col)), n)
+    g = docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("ngram"))
+    hot = (
+        g.groupBy("ngram")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("ngram", F.lit(1).alias("_hot"))
+    )
+    per = (
+        g.join(hot, "ngram", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("_n_grams"),
+            F.count("_hot").alias("_n_hot"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("_n_hot", F.lit(0)).cast("long").alias("n_hot"),
+            F.coalesce(
+                F.round(F.col("_n_hot").cast("double") / F.col("_n_grams"), 6),
+                F.lit(0.0),
+            ).alias("hot_frac"),
+        )
+    )
+
+
 # PII masking (the CCNet/Dolma pre-training hygiene stage): patterns
 # are deliberately engine-portable — no backreferences, no lookaround,
 # no \b (Java and RE2 agree on everything used here), so the SAME

@@ -507,6 +507,53 @@ def test_decontaminate_semantics(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_boilerplate_stats_semantics(spark):
+    """boilerplate_stats must equal a brute-force Python computation of
+    the cross-doc hot-n-gram occurrence fraction — over a fixture with
+    a shared boilerplate header (hot), unique bodies (cold), repeated
+    in-doc grams that are NOT cross-doc (must stay cold: df counts
+    DISTINCT docs), and a too-short doc (explicit zero row)."""
+    from collections import Counter
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.textstats import boilerplate_stats
+
+    header = "all rights reserved by the site owner"
+    rows = [
+        (0, f"{header} welcome to my unique page about gardening tools"),
+        (1, f"{header} a completely different essay on marine biology"),
+        (2, "nothing shared here with anything else in this corpus today"),
+        (3, "spam spam spam spam spam spam wonderful spam"),  # in-doc only
+        (4, "too short"),
+        (5, ""),
+    ]
+    n, min_df = 3, 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hot"], r["hot_frac"])
+        for r in boilerplate_stats(docs, n=n, min_df=min_df).collect()
+    }
+
+    def grams(text):
+        ts = tokenize(text)
+        return [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+
+    df = Counter()
+    for _, t in rows:
+        for gm in set(grams(t)):
+            df[gm] += 1
+    hot = {gm for gm, c in df.items() if c >= min_df}
+    for did, text in rows:
+        gs = grams(text)
+        nh = sum(1 for gm in gs if gm in hot)
+        want = (len(gs), nh, round(nh / len(gs), 6) if gs else 0.0)
+        assert got[did] == want, (did, got[did], want)
+    assert got[4] == (0, 0, 0.0) and got[5] == (0, 0, 0.0)
+    # docs 0/1 share the header: hot but not 1.0; doc 3's in-doc
+    # repetition must NOT count (df is distinct-doc)
+    assert 0.0 < got[0][2] < 1.0 and got[3][1] == 0
+
+
 # ------------------------------------------------- local IVF-PQ exact rerank
 
 def test_local_ivfpq_rerank_equals_distributed_search(spark, tmp_path):
