@@ -156,9 +156,11 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
     with no matching log record — a crash between the manifest append
     and the log commit leaves them invisible forever; retrying compacts
     afresh under a new id). The predicate chain grows with the number
-    of compactions — a long-lived 100-TB deployment snapshots the
-    generations log periodically (rewrite manifest + truncate log), the
-    same hygiene any LSM manifest needs."""
+    of compactions SINCE THE LAST SNAPSHOT — :func:`snapshot_manifest`
+    is the hygiene that resets it (folded manifest rows carry
+    ``snapped-compact-*`` batch_ids and no retire ranges, so a fresh
+    epoch's read is predicate-free; measured 655 → 101 ms after 20
+    compactions, BENCH/BASELINE.md)."""
     d = manifest_dir(index_dir)
     if not os.path.isdir(d) or not any(f.endswith(".parquet") for f in os.listdir(d)):
         return None
