@@ -894,6 +894,21 @@ def _docs_with_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dup)
 
 
+PPLX_SAMPLE_MOD, PPLX_SAMPLE_CAP = 20, 100_000
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail selection: every doc bucketed by
+    corpus-relative unigram-fluency terciles, thresholds = exact order
+    statistics of the deterministic bounded sample (ids divisible by
+    20, ≤100k rows) — operators/textstats.py:perplexity_buckets."""
+    return textstats.perplexity_buckets(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        sample_mod=PPLX_SAMPLE_MOD,
+        sample_cap=PPLX_SAMPLE_CAP,
+    )
+
+
 BOILERPLATE_N, BOILERPLATE_MIN_DF = 3, 2
 
 
@@ -1291,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "boilerplate_stats": q_boilerplate_stats,
+        "perplexity_buckets": q_perplexity_buckets,
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
         "pii_stats": q_pii_stats,
@@ -1461,6 +1477,40 @@ idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok WHERE len(ts)
 bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
 SELECT bigram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
 FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "perplexity_buckets": f"""
+WITH tokx AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT term, count(*)::DOUBLE AS cnt FROM tokx GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS total FROM tokx),
+pd AS (
+  SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(ln(tf.cnt / tot.total)), 6) AS mean_logprob
+  FROM tokx x JOIN tf USING (term) CROSS JOIN tot
+  GROUP BY 1
+),
+base AS (
+  SELECT d.doc_id,
+         coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(pd.mean_logprob, 0.0)::DOUBLE AS mean_logprob
+  FROM documents d LEFT JOIN pd USING (doc_id)
+),
+samp AS (
+  SELECT mean_logprob AS lp FROM base
+  WHERE doc_id % {PPLX_SAMPLE_MOD} = 0
+    AND doc_id < {PPLX_SAMPLE_MOD} * {PPLX_SAMPLE_CAP}
+),
+m AS (SELECT count(*) AS m FROM samp),
+sr AS (SELECT lp, row_number() OVER (ORDER BY lp) AS rn FROM samp),
+cuts AS (
+  SELECT max(CASE WHEN rn = (SELECT (m // 3) + 1 FROM m) THEN lp END) AS t1,
+         max(CASE WHEN rn = (SELECT ((2 * m) // 3) + 1 FROM m) THEN lp END) AS t2
+  FROM sr
+)
+SELECT b.doc_id, b.n_tokens, b.mean_logprob,
+       CASE WHEN b.mean_logprob >= (SELECT t2 FROM cuts) THEN 'head'
+            WHEN b.mean_logprob >= (SELECT t1 FROM cuts) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base b
 """,
         "boilerplate_stats": f"""
 WITH crawl AS (

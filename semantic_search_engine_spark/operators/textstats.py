@@ -470,6 +470,60 @@ def decontaminate(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    sample_mod: int = 20,
+    sample_cap: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, mean_logprob, bucket) — CCNet's head/middle/tail
+    SELECTION mechanism over the :func:`unigram_logprob` fluency score:
+    every document bucketed by corpus-relative fluency terciles, the
+    knob the published pipelines use to keep 'head', resample
+    'middle', and drop 'tail'.
+
+    Thresholds are EXACT order statistics of a deterministic bounded
+    sample — ids ``0, sample_mod, 2·sample_mod, …`` up to
+    ``sample_cap`` rows — sorted ascending with cuts at ranks
+    ``m//3`` and ``(2m)//3`` (0-based). Exact-on-a-sample (CCNet's own
+    protocol) rather than approximate-on-everything keeps the result
+    reproducible bit-for-bit across engines: approxQuantile-style
+    sketches have engine-specific internals no oracle can replay.
+
+    100-TB shape: the collected driver state is the SAMPLE's scores
+    only, ≤ sample_cap rows — the same bounded-sample pattern as the
+    k-means/PQ trainers; the corpus side is :func:`unigram_logprob`'s
+    plan plus one codegen CASE against two broadcast literals.
+    Raises when the sample is empty (no doc ids divisible by
+    ``sample_mod``) — silent global buckets would be meaningless."""
+    if sample_mod < 1 or sample_cap < 3:
+        raise ValueError(f"bad sample spec mod={sample_mod} cap={sample_cap}")
+    lp = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    sample = sorted(
+        r["mean_logprob"]
+        for r in lp.filter(
+            (F.col(id_col) % sample_mod == 0)
+            & (F.col(id_col) < sample_mod * sample_cap)
+        ).collect()
+    )
+    m = len(sample)
+    if m == 0:
+        raise ValueError(
+            f"empty fluency sample (no doc ids divisible by {sample_mod})"
+        )
+    t1, t2 = sample[m // 3], sample[(2 * m) // 3]
+    return lp.select(
+        F.col(id_col),
+        "n_tokens",
+        "mean_logprob",
+        F.when(F.col("mean_logprob") >= t2, F.lit("head"))
+        .when(F.col("mean_logprob") >= t1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     n: int = 3,

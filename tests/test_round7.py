@@ -507,6 +507,62 @@ def test_decontaminate_semantics(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_perplexity_buckets_semantics(spark):
+    """perplexity_buckets must bucket every doc by the exact tercile
+    order statistics of the deterministic sample's mean_logprob —
+    verified against a brute-force Python unigram LM + sorted-sample
+    cuts, with the empty-sample refusal and the empty-doc spine row."""
+    import math
+    from collections import Counter
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.textstats import perplexity_buckets
+
+    rows = [
+        (0, "the the the the the the the the"),          # max-fluency (sample)
+        (1, "aardvark zyzzyva qoph xylyl"),              # rare junk
+        (2, "the quick brown fox and the lazy dog"),
+        (3, "the and the and the and"),                  # common tokens (sample: 3? no)
+        (4, "zyzzyva zyzzyva the"),
+        (5, ""),                                          # empty doc
+        (6, "the fox and the dog ran"),
+        (7, "quick quick brown brown"),
+    ]
+    mod = 2  # sample = even doc_ids (incl. the empty doc's 0.0 row)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"], r["bucket"])
+        for r in perplexity_buckets(docs, sample_mod=mod).collect()
+    }
+
+    cnt = Counter(t for _, text in rows for t in tokenize(text))
+    total = sum(cnt.values())
+    lp = {}
+    for did, text in rows:
+        ts = tokenize(text)
+        lp[did] = (
+            round(sum(math.log(cnt[t] / total) for t in ts) / len(ts), 6)
+            if ts
+            else 0.0
+        )
+    sample = sorted(lp[d] for d, _ in rows if d % mod == 0)
+    m = len(sample)
+    t1, t2 = sample[m // 3], sample[(2 * m) // 3]
+    for did, text in rows:
+        want_bucket = (
+            "head" if lp[did] >= t2 else "middle" if lp[did] >= t1 else "tail"
+        )
+        nt = len(tokenize(text))
+        assert got[did] == (nt, lp[did], want_bucket), (did, got[did])
+    assert {b for _, _, b in got.values()} == {"head", "middle", "tail"}
+    assert got[5][2] in ("head", "middle", "tail")  # empty doc still bucketed
+    # empty sample refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty fluency sample"):
+        perplexity_buckets(docs.filter(F.col("doc_id") % 2 == 1), sample_mod=2)
+
+
 def test_boilerplate_stats_semantics(spark):
     """boilerplate_stats must equal a brute-force Python computation of
     the cross-doc hot-n-gram occurrence fraction — over a fixture with
