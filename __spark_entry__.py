@@ -894,6 +894,23 @@ def _docs_with_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dup)
 
 
+GOPHER_MIN_WORDS, GOPHER_MIN_MWL, GOPHER_MIN_STOP = 30, 4.0, 2
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Gopher document-quality rules (Rae et al. A1.1)
+    as per-doc signals + a 0/1 keep flag, thresholds tuned so every
+    rule discriminates on this corpus (word counts 10-99, median 56;
+    stopword>=2 holds for ~45%) — operators/textstats.py:gopher_rules,
+    one scan, zero shuffles."""
+    return textstats.gopher_rules(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        min_words=GOPHER_MIN_WORDS,
+        min_mean_word_len=GOPHER_MIN_MWL,
+        min_stopwords=GOPHER_MIN_STOP,
+    )
+
+
 PPLX_SAMPLE_MOD, PPLX_SAMPLE_CAP = 20, 100_000
 
 
@@ -1307,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "boilerplate_stats": q_boilerplate_stats,
         "perplexity_buckets": q_perplexity_buckets,
+        "gopher_rules": q_gopher_rules,
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
         "pii_stats": q_pii_stats,
@@ -1477,6 +1495,39 @@ idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok WHERE len(ts)
 bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
 SELECT bigram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
 FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "gopher_rules": f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(words) > 0
+              THEN len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(words)
+              ELSE 0.0 END AS symr,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words)
+              ELSE 0.0 END AS af,
+         len(list_filter(toks, t -> list_contains(['the','be','to','of','and','that','have','with'], t)))::BIGINT AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words,
+       round(mwl, 6)::DOUBLE AS mean_word_len,
+       round(symr, 6)::DOUBLE AS symbol_ratio,
+       round(af, 6)::DOUBLE AS alpha_word_frac,
+       n_stop AS n_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000
+        AND mwl >= {GOPHER_MIN_MWL} AND mwl <= 10.0
+        AND symr <= 0.1 AND af >= 0.8
+        AND n_stop >= {GOPHER_MIN_STOP})::BIGINT AS keep
+FROM per
 """,
         "perplexity_buckets": f"""
 WITH tokx AS (SELECT doc_id, unnest({tok}) AS term FROM documents),

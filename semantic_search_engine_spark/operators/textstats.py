@@ -470,6 +470,81 @@ def decontaminate(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    n_stopwords, keep) — the canonical GOPHER document-quality rules
+    (Rae et al. 2021, appendix A1.1), the named rule-set the published
+    pipelines apply verbatim: word-count bounds, mean-word-length
+    bounds, `#`/`...` symbol-to-word ratio, fraction of words with an
+    alphabetic character, and the ≥2-stopwords test. ``keep`` is the
+    conjunction — one more `keep` flag emitted as 0/1 so pipelines can
+    sum survivor counts without bool-canonicalization concerns.
+
+    Word statistics use RAW whitespace words (the rules are defined on
+    words, not normalized tokens — a mean word length over
+    punctuation-stripped tokens would drift from the paper);
+    the stopword test uses the normalized tokenizer (case/punct
+    insensitive membership, matching the paper's intent). Line-shaped
+    Gopher rules (bullet-line / ellipsis-line fractions) belong to the
+    newline-bearing view — see :func:`line_stats`.
+
+    100-TB shape: every signal is a column expression over one scan —
+    ZERO shuffles, no explode, no UDF; the same embarrassingly-parallel
+    class as :func:`repetition_stats`."""
+    raw = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    n_words = F.size(raw)
+    sum_len = F.aggregate(raw, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(0.0)
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    sym_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words
+    ).otherwise(0.0)
+    n_alpha = F.size(F.filter(raw, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words
+    ).otherwise(0.0)
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(tokens_col(F.col(text_col)), lambda t: F.array_contains(sw, t))
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     sample_mod: int = 20,

@@ -507,6 +507,63 @@ def test_decontaminate_semantics(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_gopher_rules_semantics(spark):
+    """gopher_rules must equal a brute-force Python evaluation of the
+    Rae et al. A1.1 rules over docs engineered to fail each rule
+    individually (too short, long gibberish words, symbol spam,
+    numeric words, no stopwords) plus one that passes everything;
+    plan stays zero-shuffle."""
+    import re
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+    from semantic_search_engine_spark.plans import audit
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs off "
+        "with the bone to have some peace of mind near the old barn"
+    )
+    rows = [
+        (0, good),                                             # passes all
+        (1, "too short to have the words"),                    # n_words
+        (2, " ".join(["pneumonoultramicroscopics"] * 25)),     # mean len high
+        (3, "a b c d e " * 5 + "the of and to be"),            # mean len low
+        (4, ("# " * 10 + "... ") * 3 + good),                  # symbol ratio
+        (5, " ".join(str(i) for i in range(30)) + " the of"),  # alpha frac
+        (6, " ".join(["giraffe elephant zebra lion"] * 8)),    # stopwords
+        (7, ""),                                               # empty
+    ]
+    kw = dict(min_words=20, min_mean_word_len=3.0, max_mean_word_len=10.0,
+              max_symbol_ratio=0.1, min_alpha_word_frac=0.8, min_stopwords=2)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = gopher_rules(docs, **kw)
+    got = {r["doc_id"]: r for r in res.collect()}
+    for did, text in rows:
+        words = [w for w in re.split(r"\s+", text.strip()) if w]
+        nw = len(words)
+        mwl = sum(len(w) for w in words) / nw if nw else 0.0
+        nsym = len(re.findall(r"#|\.\.\.", text))
+        symr = nsym / nw if nw else 0.0
+        af = (sum(1 for w in words if re.search("[A-Za-z]", w)) / nw) if nw else 0.0
+        nstop = sum(1 for t in tokenize(text) if t in GOPHER_STOPWORDS)
+        keep = int(
+            20 <= nw <= 100_000 and 3.0 <= mwl <= 10.0 and symr <= 0.1
+            and af >= 0.8 and nstop >= 2
+        )
+        g = got[did]
+        assert (
+            g["n_words"], g["mean_word_len"], g["symbol_ratio"],
+            g["alpha_word_frac"], g["n_stopwords"], g["keep"],
+        ) == (nw, round(mwl, 6), round(symr, 6), round(af, 6), nstop, keep), did
+    assert got[0]["keep"] == 1
+    assert [got[d]["keep"] for d in range(1, 8)] == [0] * 7  # each rule fires
+    plan = audit.physical_plan(res)
+    assert "Exchange" not in plan
+
+
 def test_perplexity_buckets_semantics(spark):
     """perplexity_buckets must bucket every doc by the exact tercile
     order statistics of the deterministic sample's mean_logprob —
