@@ -894,6 +894,22 @@ def _docs_with_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dup)
 
 
+CHUNK_TOKENS, CHUNK_RANGE_DOCS = 256, 100
+
+
+def q_sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk packing assignment: which
+    256-token training chunk each doc's first token lands in and how
+    many chunks it straddles, the token stream restarting every 100
+    ids so the running sum parallelizes by range
+    (operators/textstats.py:sequence_chunks)."""
+    return textstats.sequence_chunks(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        chunk_tokens=CHUNK_TOKENS,
+        range_docs=CHUNK_RANGE_DOCS,
+    )
+
+
 GOPHER_MIN_WORDS, GOPHER_MIN_MWL, GOPHER_MIN_STOP = 30, 4.0, 2
 
 
@@ -1325,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_stats": q_boilerplate_stats,
         "perplexity_buckets": q_perplexity_buckets,
         "gopher_rules": q_gopher_rules,
+        "sequence_chunks": q_sequence_chunks,
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
         "pii_stats": q_pii_stats,
@@ -1495,6 +1512,25 @@ idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tok WHERE len(ts)
 bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx)
 SELECT bigram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
 FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "sequence_chunks": f"""
+WITH base AS (
+  SELECT doc_id, (doc_id // {CHUNK_RANGE_DOCS})::BIGINT AS range_id,
+         len({tok})::BIGINT AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, range_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY range_id ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+  FROM base
+)
+SELECT doc_id, range_id, n_tokens, start_offset,
+       (start_offset // {CHUNK_TOKENS})::BIGINT AS chunk_first,
+       CASE WHEN n_tokens > 0
+            THEN ((start_offset + n_tokens - 1) // {CHUNK_TOKENS}) - (start_offset // {CHUNK_TOKENS}) + 1
+            ELSE 0 END::BIGINT AS chunks_spanned
+FROM off
 """,
         "gopher_rules": f"""
 WITH w AS (

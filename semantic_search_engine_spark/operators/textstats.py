@@ -470,6 +470,60 @@ def decontaminate(
     )
 
 
+def sequence_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 2048,
+    range_docs: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, range_id, n_tokens, start_offset, chunk_first,
+    chunks_spanned) — GPT-style CONCAT-THEN-CHUNK packing assignment:
+    documents are concatenated in id order into a token stream cut
+    into fixed ``chunk_tokens`` training sequences, and each doc
+    learns which chunk its first token lands in and how many chunks
+    it straddles (straddle count is the boundary-crossing metric
+    packing ablations report). The operator assigns; it does not
+    materialize chunk text — at pretraining scale the assignment IS
+    the shuffle key for the writer that does.
+
+    100-TB shape: a single global running sum would serialize on one
+    partition, so the stream RESTARTS every ``range_docs`` ids
+    (``range_id = id // range_docs``) and the running sum is a window
+    partitioned BY RANGE — exactly how sharded pretraining tokenizers
+    pack (each shard packs independently; chunk ids are (range, local)
+    pairs). One shuffle (the range partition), no UDF, no explode."""
+    if chunk_tokens < 1 or range_docs < 1:
+        raise ValueError(f"bad chunk spec {chunk_tokens}/{range_docs}")
+    from pyspark.sql import Window
+
+    rid = F.floor(F.col(id_col) / F.lit(range_docs)).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        rid.alias("range_id"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("range_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    first = F.floor(start / chunk_tokens)
+    last = F.floor((start + F.col("n_tokens") - 1) / chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        "range_id",
+        "n_tokens",
+        start.cast("long").alias("start_offset"),
+        first.cast("long").alias("chunk_first"),
+        F.when(F.col("n_tokens") > 0, (last - first + 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chunks_spanned"),
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -507,6 +507,53 @@ def test_decontaminate_semantics(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_sequence_chunks_semantics(spark):
+    """sequence_chunks must equal a brute-force per-range running-sum
+    chunk assignment: offsets restart at each range boundary, a doc
+    exactly filling a chunk does not straddle, a doc crossing one does,
+    a zero-token doc spans zero chunks, and concatenating per-range
+    (chunk_first, spans) reconstructs a gapless chunk stream."""
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.textstats import sequence_chunks
+
+    # token counts by construction: "w " * k has k tokens
+    def doc(i, k):
+        return (i, ("w " * k).strip())
+
+    rows = [
+        doc(0, 4), doc(1, 4),      # fills chunk 0 exactly (chunk=8)
+        doc(2, 3), doc(3, 6),      # doc 3 straddles chunks 1-2
+        (4, ""),                    # zero tokens at offset 17
+        doc(5, 11),                 # spans 2 chunks (17..27)
+        # range 2 (range_docs=6): offsets restart
+        doc(6, 5), doc(7, 9),      # doc 7 starts at 5, spans 5..13 -> 2 chunks
+        doc(11, 2),                 # gap in ids is fine; still range 1
+    ]
+    chunk, rng = 8, 6
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["range_id"], r["n_tokens"], r["start_offset"],
+            r["chunk_first"], r["chunks_spanned"],
+        )
+        for r in sequence_chunks(docs, chunk_tokens=chunk, range_docs=rng).collect()
+    }
+    offs = {}
+    for did, text in sorted(rows):
+        n = len(tokenize(text))
+        rid = did // rng
+        start = offs.get(rid, 0)
+        offs[rid] = start + n
+        first = start // chunk
+        spans = ((start + n - 1) // chunk) - first + 1 if n else 0
+        assert got[did] == (rid, n, start, first, spans), (did, got[did])
+    assert got[1][4] == 1 and got[1][2] == 4      # exact fill, no straddle
+    assert got[3][4] == 2                          # crosses a boundary
+    assert got[4] == (0, 0, 17, 2, 0)              # empty doc
+    assert got[6][2] == 0                          # range restart
+    assert got[11][0] == 1
+
+
 def test_gopher_rules_semantics(spark):
     """gopher_rules must equal a brute-force Python evaluation of the
     Rae et al. A1.1 rules over docs engineered to fail each rule
