@@ -844,6 +844,46 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_stats(_docs_with_pii(spark, sf_dir))
 
 
+CARD_STEP_VAR, CARD_STEP_VALID, CARD_STEP_INVALID = 5, 7, 9
+
+
+def _docs_with_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-bearing view of ``documents``: a doc_id-parametrized
+    card-shaped run (residue 5 — its Luhn validity is DATA-driven, not
+    chosen), a known-valid Visa test number (residue 7), and its
+    known-invalid off-by-one twin (residue 9). Residues overlap, so
+    docs with several candidates of mixed validity exercise the
+    conditional stitch."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    var = F.concat(
+        F.lit(" card 4539 14"), F.lpad((i % 100).cast("string"), 2, "0"),
+        F.lit(" 0343 "), F.lpad((i % 10000).cast("string"), 4, "0"),
+    )
+    t = F.concat(
+        F.col("text"),
+        F.when(i % CARD_STEP_VAR == 0, var).otherwise(F.lit("")),
+        F.when(
+            i % CARD_STEP_VALID == 0, F.lit(" visa 4111 1111 1111 1111")
+        ).otherwise(F.lit("")),
+        F.when(
+            i % CARD_STEP_INVALID == 0, F.lit(" ref 4111-1111-1111-1112")
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_pii_cc_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated credit-card masking (the regex-then-checksum
+    pattern of Dolma's pii tagger): card-shaped candidates counted,
+    checksum-checked in pure integer column math, and ONLY valid ones
+    masked — operators/textstats.py:cc_luhn_stats, one scan, zero
+    shuffles. The oracle recomputes the Luhn sum independently in
+    DuckDB list ops, so the valid/invalid boundary of every
+    doc_id-parametrized candidate is compared hash-exact."""
+    return textstats.cc_luhn_stats(_docs_with_cards(spark, sf_dir))
+
+
 FUNNEL_QUALITY_T = 0.6  # ~median of the testdata quality distribution
 
 
@@ -873,6 +913,27 @@ def q_corpus_filter_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_threshold=FUNNEL_QUALITY_T,
         lang="en",
         max_top_ngram_frac=FUNNEL_REP_T,
+    )
+
+
+def q_corpus_filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete cleaning pass: total → lang → quality →
+    top-bigram-frac ≤ 0.05 → FULL Gopher rule conjunction (same
+    thresholds as the `gopher_rules` entry, where each signal is
+    individually oracle-checked) → exact-unique. Six stages, and the
+    plan is STILL one scan→project→agg — every rule is a per-doc
+    column expression, so splicing Gopher in adds zero shuffles
+    (operators/textstats.py:filter_funnel, gopher_keep_col)."""
+    return textstats.filter_funnel(
+        _docs_with_recrawl(spark, sf_dir),
+        quality_threshold=FUNNEL_QUALITY_T,
+        lang="en",
+        max_top_ngram_frac=FUNNEL_REP_T,
+        gopher_thresholds=dict(
+            min_words=GOPHER_MIN_WORDS,
+            min_mean_word_len=GOPHER_MIN_MWL,
+            min_stopwords=GOPHER_MIN_STOP,
+        ),
     )
 
 
@@ -936,6 +997,20 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics of the deterministic bounded sample (ids divisible by
     20, ≤100k rows) — operators/textstats.py:perplexity_buckets."""
     return textstats.perplexity_buckets(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        sample_mod=PPLX_SAMPLE_MOD,
+        sample_cap=PPLX_SAMPLE_CAP,
+    )
+
+
+def q_perplexity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's SAMPLING half: keep head docs, hash-thin middle/tail at
+    the published-posture rates (1.0/0.5/0.1), the keep decision a
+    deterministic Knuth-multiplicative id-hash so the selected corpus
+    is bit-reproducible across engines and re-runs
+    (operators/textstats.py:perplexity_sample — the oracle recomputes
+    both the terciles AND the hash independently)."""
+    return textstats.perplexity_sample(
         _docs(spark, sf_dir).select("doc_id", "text"),
         sample_mod=PPLX_SAMPLE_MOD,
         sample_cap=PPLX_SAMPLE_CAP,
@@ -1340,14 +1415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "boilerplate_stats": q_boilerplate_stats,
         "perplexity_buckets": q_perplexity_buckets,
+        "perplexity_sample": q_perplexity_sample,
         "gopher_rules": q_gopher_rules,
         "sequence_chunks": q_sequence_chunks,
         "unigram_logprob": q_unigram_logprob,
         "line_dup_stats": q_line_dup_stats,
         "pii_stats": q_pii_stats,
         "pii_stats_v2": q_pii_stats_v2,
+        "pii_cc_luhn": q_pii_cc_luhn,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
+        "corpus_filter_funnel_v3": q_corpus_filter_funnel_v3,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_dup_clusters": q_text_dup_clusters,
@@ -1457,6 +1535,50 @@ def oracle_sql() -> dict[str, str]:
         lang: f"len(list_filter({tok}, t -> list_contains([{', '.join(repr(m) for m in ms)}], t)))"
         for lang, ms in textstats.LANG_MARKERS.items()
     }
+    pplx_buckets_sql = f"""
+WITH tokx AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT term, count(*)::DOUBLE AS cnt FROM tokx GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS total FROM tokx),
+pd AS (
+  SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(ln(tf.cnt / tot.total)), 6) AS mean_logprob
+  FROM tokx x JOIN tf USING (term) CROSS JOIN tot
+  GROUP BY 1
+),
+base AS (
+  SELECT d.doc_id,
+         coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(pd.mean_logprob, 0.0)::DOUBLE AS mean_logprob
+  FROM documents d LEFT JOIN pd USING (doc_id)
+),
+samp AS (
+  SELECT mean_logprob AS lp FROM base
+  WHERE doc_id % {PPLX_SAMPLE_MOD} = 0
+    AND doc_id < {PPLX_SAMPLE_MOD} * {PPLX_SAMPLE_CAP}
+),
+m AS (SELECT count(*) AS m FROM samp),
+sr AS (SELECT lp, row_number() OVER (ORDER BY lp) AS rn FROM samp),
+cuts AS (
+  SELECT max(CASE WHEN rn = (SELECT (m // 3) + 1 FROM m) THEN lp END) AS t1,
+         max(CASE WHEN rn = (SELECT ((2 * m) // 3) + 1 FROM m) THEN lp END) AS t2
+  FROM sr
+)
+SELECT b.doc_id, b.n_tokens, b.mean_logprob,
+       CASE WHEN b.mean_logprob >= (SELECT t2 FROM cuts) THEN 'head'
+            WHEN b.mean_logprob >= (SELECT t1 FROM cuts) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM base b
+"""
+    # keep/drop recomputed from the SAME rate dict the operator uses
+    # (textstats.PPLX_SAMPLE_RATES), so the posture cannot drift.
+    rt = {k: repr(float(v)) for k, v in textstats.PPLX_SAMPLE_RATES.items()}
+    pplx_sample_sql = f"""
+SELECT * FROM ({pplx_buckets_sql})
+WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(textstats._HASH_MOD)!r}
+      < CASE bucket WHEN 'head' THEN {rt['head']}::DOUBLE
+                    WHEN 'middle' THEN {rt['middle']}::DOUBLE
+                    ELSE {rt['tail']}::DOUBLE END
+"""
     return {
         "bm25_topk": _bm25_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
@@ -1565,40 +1687,8 @@ SELECT doc_id, n_words,
         AND n_stop >= {GOPHER_MIN_STOP})::BIGINT AS keep
 FROM per
 """,
-        "perplexity_buckets": f"""
-WITH tokx AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
-tf AS (SELECT term, count(*)::DOUBLE AS cnt FROM tokx GROUP BY 1),
-tot AS (SELECT count(*)::DOUBLE AS total FROM tokx),
-pd AS (
-  SELECT x.doc_id, count(*)::BIGINT AS n_tokens,
-         round(avg(ln(tf.cnt / tot.total)), 6) AS mean_logprob
-  FROM tokx x JOIN tf USING (term) CROSS JOIN tot
-  GROUP BY 1
-),
-base AS (
-  SELECT d.doc_id,
-         coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
-         coalesce(pd.mean_logprob, 0.0)::DOUBLE AS mean_logprob
-  FROM documents d LEFT JOIN pd USING (doc_id)
-),
-samp AS (
-  SELECT mean_logprob AS lp FROM base
-  WHERE doc_id % {PPLX_SAMPLE_MOD} = 0
-    AND doc_id < {PPLX_SAMPLE_MOD} * {PPLX_SAMPLE_CAP}
-),
-m AS (SELECT count(*) AS m FROM samp),
-sr AS (SELECT lp, row_number() OVER (ORDER BY lp) AS rn FROM samp),
-cuts AS (
-  SELECT max(CASE WHEN rn = (SELECT (m // 3) + 1 FROM m) THEN lp END) AS t1,
-         max(CASE WHEN rn = (SELECT ((2 * m) // 3) + 1 FROM m) THEN lp END) AS t2
-  FROM sr
-)
-SELECT b.doc_id, b.n_tokens, b.mean_logprob,
-       CASE WHEN b.mean_logprob >= (SELECT t2 FROM cuts) THEN 'head'
-            WHEN b.mean_logprob >= (SELECT t1 FROM cuts) THEN 'middle'
-            ELSE 'tail' END AS bucket
-FROM base b
-""",
+        "perplexity_buckets": pplx_buckets_sql,
+        "perplexity_sample": pplx_sample_sql,
         "boilerplate_stats": f"""
 WITH crawl AS (
   SELECT doc_id, text FROM documents
@@ -1737,6 +1827,49 @@ SELECT doc_id,
 FROM r2
 """,
         "pii_stats_v2": _pii_v2_oracle_sql(),
+        "pii_cc_luhn": f"""
+WITH pv AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % {CARD_STEP_VAR} = 0
+         THEN ' card 4539 14' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+              || ' 0343 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE '' END ||
+    CASE WHEN doc_id % {CARD_STEP_VALID} = 0
+         THEN ' visa 4111 1111 1111 1111' ELSE '' END ||
+    CASE WHEN doc_id % {CARD_STEP_INVALID} = 0
+         THEN ' ref 4111-1111-1111-1112' ELSE '' END AS t
+  FROM documents
+),
+per AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, '{textstats.CC_CANDIDATE_PATTERN}') AS cands,
+         regexp_split_to_array(t, '{textstats.CC_CANDIDATE_PATTERN}') AS segs
+  FROM pv
+),
+v AS (
+  SELECT doc_id, t, cands, segs,
+         list_transform(cands, c ->
+           list_sum(list_transform(range(1, 17), i ->
+             CASE WHEN i % 2 = 1
+                  THEN CASE WHEN 2 * CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i::INT, 1) AS INT) > 9
+                            THEN 2 * CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i::INT, 1) AS INT) - 9
+                            ELSE 2 * CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i::INT, 1) AS INT) END
+                  ELSE CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i::INT, 1) AS INT) END
+           )) % 10 = 0
+         ) AS valid
+  FROM per
+)
+SELECT doc_id,
+       len(cands)::BIGINT AS n_cc_candidates,
+       len(list_filter(valid, x -> x))::BIGINT AS n_cc_valid,
+       CASE WHEN len(cands) = 0 THEN t
+            ELSE segs[1] || array_to_string(
+                   list_transform(range(1, len(cands) + 1), i ->
+                     (CASE WHEN valid[i] THEN '<CC>' ELSE cands[i] END) || segs[i + 1]),
+                   '')
+       END AS redacted
+FROM v
+""",
         "corpus_filter_funnel": f"""
 WITH crawl AS (
   SELECT doc_id, text FROM documents
@@ -1804,6 +1937,76 @@ SELECT count(*)::BIGINT AS n_total,
                    AND topf <= {FUNNEL_REP_T} THEN 1 END)::BIGINT AS n_repetition,
        count(DISTINCT CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T}
                             AND topf <= {FUNNEL_REP_T} THEN fp END)::BIGINT AS n_unique
+FROM j
+""",
+        "corpus_filter_funnel_v3": f"""
+WITH crawl AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECRAWL_ID_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {RECRAWL_STEP} = 0
+),
+per AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         round(0.4 * least(len({tok}) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len({tok}) > 0
+                        THEN len(list_distinct({tok}))::DOUBLE / len({tok}) ELSE 0.0 END)
+               + 0.3 * (CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+                        ELSE 0.0 END), 6) AS quality,
+         CASE WHEN {lang_hits['de']} >= greatest({lang_hits['en']}, {lang_hits['es']}, 1) THEN 'de'
+              WHEN {lang_hits['en']} >= greatest({lang_hits['es']}, 1) THEN 'en'
+              WHEN {lang_hits['es']} >= 1 THEN 'es'
+              ELSE 'und' END AS lang_pred
+  FROM crawl
+),
+gw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+         text
+  FROM crawl
+),
+gsig AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS gn_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+              ELSE 0.0 END AS gmwl,
+         CASE WHEN len(words) > 0
+              THEN len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(words)
+              ELSE 0.0 END AS gsymr,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words)
+              ELSE 0.0 END AS gaf,
+         len(list_filter(toks, t -> list_contains(['the','be','to','of','and','that','have','with'], t)))::BIGINT AS gn_stop
+  FROM gw
+),
+tokd AS (SELECT doc_id, {tok} AS ts FROM crawl),
+g AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS ngram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tokd WHERE len(ts) >= 2)
+),
+pc AS (SELECT doc_id, ngram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS topf FROM pc GROUP BY 1),
+j AS (
+  SELECT per.*, coalesce(rep.topf, 0.0) AS topf,
+         (gn_words >= {GOPHER_MIN_WORDS} AND gn_words <= 100000
+          AND gmwl >= {GOPHER_MIN_MWL} AND gmwl <= 10.0
+          AND gsymr <= 0.1 AND gaf >= 0.8
+          AND gn_stop >= {GOPHER_MIN_STOP}) AS gkeep
+  FROM per LEFT JOIN rep USING (doc_id) JOIN gsig USING (doc_id)
+)
+SELECT count(*)::BIGINT AS n_total,
+       count(CASE WHEN lang_pred = 'en' THEN 1 END)::BIGINT AS n_lang,
+       count(CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T} THEN 1 END)::BIGINT AS n_quality,
+       count(CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T}
+                   AND topf <= {FUNNEL_REP_T} THEN 1 END)::BIGINT AS n_repetition,
+       count(CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T}
+                   AND topf <= {FUNNEL_REP_T} AND gkeep THEN 1 END)::BIGINT AS n_gopher,
+       count(DISTINCT CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T}
+                            AND topf <= {FUNNEL_REP_T} AND gkeep THEN fp END)::BIGINT AS n_unique
 FROM j
 """,
         "dedup_exact": f"""

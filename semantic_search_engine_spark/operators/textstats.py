@@ -381,6 +381,7 @@ def filter_funnel(
     text_col: str = "text",
     max_top_ngram_frac: float | None = None,
     ngram_n: int = 2,
+    gopher_thresholds: dict | None = None,
 ) -> DataFrame:
     """One-row C4-style cleaning funnel: total docs → predicted-``lang``
     docs → + quality ≥ threshold → + exact-content-unique (distinct
@@ -395,7 +396,13 @@ def filter_funnel(
     pure per-doc column expr, so the plan stays single-pass). The
     output gains an ``n_repetition`` column and ``n_unique`` counts
     distinct fingerprints among repetition survivors. ``None``
-    (default) keeps the v1 4-column schema exactly."""
+    (default) keeps the v1 4-column schema exactly.
+
+    ``gopher_thresholds`` (a kwargs dict for :func:`gopher_keep_col`)
+    splices the full Gopher rule conjunction as one more stage between
+    repetition and unique — every rule is a per-doc column expr, so
+    even the five-stage funnel v3 is STILL one scan→project→agg. The
+    output gains ``n_gopher``."""
     cols = [
         quality_col(F.col(text_col)).alias("_q"),
         lang_pred_col(F.col(text_col)).alias("_l"),
@@ -403,6 +410,10 @@ def filter_funnel(
     ]
     if max_top_ngram_frac is not None:
         cols.append(top_ngram_frac_col(F.col(text_col), ngram_n).alias("_rep"))
+    if gopher_thresholds is not None:
+        cols.append(
+            gopher_keep_col(F.col(text_col), **gopher_thresholds).alias("_gk")
+        )
     per = docs.select(*cols)
     keep = (F.col("_l") == lang) & (F.col("_q") >= quality_threshold)
     aggs = [
@@ -413,6 +424,9 @@ def filter_funnel(
     if max_top_ngram_frac is not None:
         keep = keep & (F.col("_rep") <= max_top_ngram_frac)
         aggs.append(F.count(F.when(keep, 1)).cast("long").alias("n_repetition"))
+    if gopher_thresholds is not None:
+        keep = keep & F.col("_gk")
+        aggs.append(F.count(F.when(keep, 1)).cast("long").alias("n_gopher"))
     aggs.append(
         F.countDistinct(F.when(keep, F.col("_fp"))).cast("long").alias("n_unique")
     )
@@ -527,6 +541,58 @@ def sequence_chunks(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_signals(
+    text_col,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    min_alpha_word_frac: float,
+    min_stopwords: int,
+):
+    """(n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    n_stopwords, keep) column exprs — shared by :func:`gopher_rules`
+    (which emits all six) and :func:`filter_funnel`'s gopher stage
+    (which folds only ``keep`` into its single-pass plan)."""
+    raw = F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != "")
+    n_words = F.size(raw)
+    sum_len = F.aggregate(raw, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(0.0)
+    n_symbols = F.size(
+        F.regexp_extract_all(text_col, F.lit(r"#|\.\.\."), F.lit(0))
+    )
+    sym_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(0.0)
+    n_alpha = F.size(F.filter(raw, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(0.0)
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(tokens_col(text_col), lambda t: F.array_contains(sw, t))
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return n_words, mean_wl, sym_ratio, alpha_frac, n_stop, keep
+
+
+def gopher_keep_col(text_col, **thresholds) -> "F.Column":
+    """The Gopher-rules conjunction as ONE column expression (defaults
+    as in :func:`gopher_rules`) — the funnel-splicable form."""
+    kw = dict(
+        min_words=50, max_words=100_000, min_mean_word_len=3.0,
+        max_mean_word_len=10.0, max_symbol_ratio=0.1,
+        min_alpha_word_frac=0.8, min_stopwords=2,
+    )
+    kw.update(thresholds)
+    return _gopher_signals(text_col, **kw)[5]
+
+
 def gopher_rules(
     docs: DataFrame,
     min_words: int = 50,
@@ -559,34 +625,10 @@ def gopher_rules(
     100-TB shape: every signal is a column expression over one scan —
     ZERO shuffles, no explode, no UDF; the same embarrassingly-parallel
     class as :func:`repetition_stats`."""
-    raw = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
-    n_words = F.size(raw)
-    sum_len = F.aggregate(raw, F.lit(0), lambda acc, w: acc + F.length(w))
-    mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(0.0)
-    n_symbols = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0))
-    )
-    sym_ratio = F.when(
-        n_words > 0, n_symbols.cast("double") / n_words
-    ).otherwise(0.0)
-    n_alpha = F.size(F.filter(raw, lambda w: w.rlike("[A-Za-z]")))
-    alpha_frac = F.when(
-        n_words > 0, n_alpha.cast("double") / n_words
-    ).otherwise(0.0)
-    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stop = F.size(
-        F.filter(tokens_col(F.col(text_col)), lambda t: F.array_contains(sw, t))
-    )
-    keep = (
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (mean_wl >= min_mean_word_len)
-        & (mean_wl <= max_mean_word_len)
-        & (sym_ratio <= max_symbol_ratio)
-        & (alpha_frac >= min_alpha_word_frac)
-        & (n_stop >= min_stopwords)
+    n_words, mean_wl, sym_ratio, alpha_frac, n_stop, keep = _gopher_signals(
+        F.col(text_col),
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, min_alpha_word_frac, min_stopwords,
     )
     return docs.select(
         F.col(id_col),
@@ -786,3 +828,134 @@ def pii_stats(
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return docs.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# Luhn-validated credit-card masking: the regex finds card-SHAPED
+# 16-digit groups, but a real cleaner must not redact invoice numbers
+# or random digit runs — the ISO/IEC 7812 Luhn checksum is the
+# standard non-regex validity check (Dolma's `pii` tagger applies the
+# same regex-then-checksum pattern). The check is pure integer column
+# math, so it stays inside codegen AND is reproducible in the DuckDB
+# oracle — the valid/invalid boundary is data-driven and compared
+# hash-exact, not asserted.
+CC_CANDIDATE_PATTERN = r"([0-9]{4}[ -]){3}[0-9]{4}"
+
+
+def luhn_valid_col(cand) -> "F.Column":
+    """True iff the 16 digits of a ``dddd[ -]dddd[ -]dddd[ -]dddd``
+    candidate satisfy the Luhn checksum. For even-length numbers the
+    doubled digits are the 1-based ODD positions from the left (= every
+    second digit from the right, starting beside the check digit).
+    Pure integer expr — no UDF, no floats, engine-portable."""
+    s = F.regexp_replace(cand, r"[ -]", "")
+
+    def _contrib(acc, i):
+        d = F.substring(s, i, 1).cast("int")
+        doubled = d * 2
+        return acc + F.when(
+            i % 2 == 1, doubled - F.when(doubled > 9, 9).otherwise(0)
+        ).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), F.lit(16)), F.lit(0), _contrib)
+    return total % 10 == 0
+
+
+def cc_luhn_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_cc_candidates, n_cc_valid, redacted) — card-shaped runs
+    counted, Luhn-checked, and ONLY checksum-valid ones masked as
+    ``<CC>`` (an invalid run is far likelier an ID or serial than a
+    card; redacting it destroys training text for nothing).
+
+    ``regexp_replace`` can't mask per-match conditionally, so the text
+    is rebuilt from its split form: Java ``split(limit=-1)`` and
+    DuckDB ``regexp_split_to_array`` agree byte-for-byte (capture
+    groups excluded, trailing empties kept — probed both engines), so
+    ``segs[0] + mask(cand[0]) + segs[1] + ...`` reconstructs the exact
+    input around each candidate. Everything is per-doc column math:
+    ONE scan→project, ZERO shuffles, no UDF — the same 100-TB shape as
+    :func:`pii_stats`."""
+    text = F.col(text_col)
+    cands = F.regexp_extract_all(text, F.lit(CC_CANDIDATE_PATTERN), F.lit(0))
+    segs = F.split(text, CC_CANDIDATE_PATTERN)
+
+    def _stitch(acc, i):
+        c = F.element_at(cands, i)
+        masked = F.when(luhn_valid_col(c), F.lit("<CC>")).otherwise(c)
+        return F.concat(acc, masked, F.element_at(segs, i + 1))
+
+    # sequence(1, 0) would COUNT DOWN ([1, 0]); guard the no-match case.
+    red = F.when(F.size(cands) == 0, text).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(cands)), F.element_at(segs, 1), _stitch
+        )
+    )
+    n_valid = F.size(F.filter(cands, lambda c: luhn_valid_col(c)))
+    return docs.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_cc_candidates"),
+        n_valid.cast("long").alias("n_cc_valid"),
+        red.alias("redacted"),
+    )
+
+
+# Deterministic per-bucket sampling rates, CCNet's published posture:
+# keep the fluent head, thin the middle, hard-subsample the tail.
+PPLX_SAMPLE_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+# Knuth's multiplicative hash constant (2^32 / phi). doc_id * K mod 2^32
+# scrambles sequential ids into a uniform-looking 32-bit stream using
+# ONLY integer ops both Spark and DuckDB evaluate identically — unlike
+# rand() (engine RNG) or md5-hex→int (no portable hex-parse in both
+# engines), the keep/drop decision is bit-reproducible everywhere.
+_HASH_K = 2654435761
+_HASH_MOD = 4_294_967_296  # 2^32
+
+
+def sample_hash_col(id_col) -> "F.Column":
+    """Uniform-in-[0,1) deterministic hash of an integer id. Exact in
+    double (a 32-bit integer divided by 2^32), so `u < rate` compares
+    identically across engines."""
+    return ((id_col * F.lit(_HASH_K)) % F.lit(_HASH_MOD)).cast("double") / F.lit(
+        float(_HASH_MOD)
+    )
+
+
+def perplexity_sample(
+    docs: DataFrame,
+    rates: dict | None = None,
+    sample_mod: int = 20,
+    sample_cap: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The SAMPLING half of CCNet's head/middle/tail protocol: bucket
+    every doc with :func:`perplexity_buckets`, then keep each doc iff
+    its deterministic id-hash falls under the bucket's rate
+    (:data:`PPLX_SAMPLE_RATES` by default). Returns the kept subset
+    ``(id, n_tokens, mean_logprob, bucket)`` — the actual
+    training-corpus selection, not just the labels.
+
+    Reproducibility is the point: re-running the pipeline (or an
+    auditor re-deriving it in another engine) selects the SAME
+    documents, which `df.sample()` cannot promise across engines,
+    partitionings, or Spark versions. 100-TB shape: the bucket plan
+    plus one codegen hash-compare — no extra shuffle, no RNG state."""
+    rates = PPLX_SAMPLE_RATES if rates is None else rates
+    unknown = set(rates) - {"head", "middle", "tail"}
+    if unknown or not all(0.0 <= float(v) <= 1.0 for v in rates.values()):
+        raise ValueError(f"bad rates {rates}")
+    b = perplexity_buckets(
+        docs, sample_mod=sample_mod, sample_cap=sample_cap,
+        id_col=id_col, text_col=text_col,
+    )
+    u = sample_hash_col(F.col(id_col))
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(float(rates.get("head", 0.0))))
+        .when(F.col("bucket") == "middle", F.lit(float(rates.get("middle", 0.0))))
+        .otherwise(F.lit(float(rates.get("tail", 0.0))))
+    )
+    return b.filter(u < rate)

@@ -807,3 +807,146 @@ def test_compaction_gc_deferral(spark, tmp_path):
     assert removed >= len(retired)
     assert seg_shards().isdisjoint(retired)
     docs.unpersist()
+
+
+# ------------------------------------------------- funnel v3 (gopher stage)
+
+def test_filter_funnel_gopher_stage(spark):
+    """filter_funnel(gopher_thresholds=...) drops a too-short doc
+    between repetition and unique, the output gains n_gopher, omitting
+    the param keeps the v2 schema, and the six-stage plan is STILL one
+    pass (no joins — every Gopher rule is a per-doc column expr)."""
+    from semantic_search_engine_spark.operators.textstats import filter_funnel
+    from semantic_search_engine_spark.plans import audit
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today " * 3
+    short = "the cat sat on a mat"  # 6 words < min_words=10 -> gopher drop
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, good)], "doc_id long, text string"
+    )
+    gk = dict(min_words=10, min_mean_word_len=0.0, min_stopwords=1)
+    v3 = filter_funnel(
+        docs, quality_threshold=0.0, lang="en",
+        max_top_ngram_frac=1.0, gopher_thresholds=gk,
+    ).collect()[0]
+    assert set(v3.asDict()) == {
+        "n_total", "n_lang", "n_quality", "n_repetition", "n_gopher", "n_unique"
+    }
+    assert (v3["n_total"], v3["n_lang"], v3["n_quality"]) == (3, 3, 3)
+    assert v3["n_repetition"] == 3  # topf <= 1.0 passes everyone
+    assert v3["n_gopher"] == 2      # the short doc fails min_words
+    assert v3["n_unique"] == 1      # the two good docs are exact dups
+    v2 = filter_funnel(
+        docs, quality_threshold=0.0, lang="en", max_top_ngram_frac=1.0
+    ).collect()[0]
+    assert set(v2.asDict()) == {
+        "n_total", "n_lang", "n_quality", "n_repetition", "n_unique"
+    }
+    plan = audit.physical_plan(
+        filter_funnel(
+            docs, quality_threshold=0.0, lang="en",
+            max_top_ngram_frac=1.0, gopher_thresholds=gk,
+        )
+    )
+    assert "Join" not in plan
+
+
+# ------------------------------------------------- Luhn-validated CC masking
+
+def test_cc_luhn_stats_semantics(spark):
+    """cc_luhn_stats must mask ONLY Luhn-valid candidates (exact
+    redacted-string compare on handcrafted mixed docs), agree with a
+    Python-reference Luhn over 120 random 16-digit cards, and keep the
+    zero-shuffle per-doc plan."""
+    from semantic_search_engine_spark.operators.textstats import cc_luhn_stats
+    from semantic_search_engine_spark.plans import audit
+
+    def luhn_ok(card: str) -> bool:
+        ds = [int(c) for c in card if c.isdigit()]
+        assert len(ds) == 16
+        total = sum(
+            (2 * d - 9 if 2 * d > 9 else 2 * d) if i % 2 == 0 else d
+            for i, d in enumerate(ds)
+        )
+        return total % 10 == 0
+
+    assert luhn_ok("4111 1111 1111 1111") and not luhn_ok("4111 1111 1111 1112")
+
+    rows = [
+        (0, "pay 4111 1111 1111 1111 now"),                       # valid -> masked
+        (1, "ref 4111-1111-1111-1112 kept"),                      # invalid -> kept
+        (2, "a 4539 1488 0343 6467 b 1234 5678 9012 3456 c"),     # mixed
+        (3, "no cards here 123 456"),                             # none
+        (4, ""),                                                  # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {int(r["doc_id"]): r for r in cc_luhn_stats(docs).collect()}
+    assert got[0]["redacted"] == "pay <CC> now"
+    assert (got[0]["n_cc_candidates"], got[0]["n_cc_valid"]) == (1, 1)
+    assert got[1]["redacted"] == rows[1][1]
+    assert (got[1]["n_cc_candidates"], got[1]["n_cc_valid"]) == (1, 0)
+    assert luhn_ok("4539 1488 0343 6467") and not luhn_ok("1234 5678 9012 3456")
+    assert got[2]["redacted"] == "a <CC> b 1234 5678 9012 3456 c"
+    assert (got[2]["n_cc_candidates"], got[2]["n_cc_valid"]) == (2, 1)
+    assert got[3]["redacted"] == rows[3][1] and got[3]["n_cc_candidates"] == 0
+    assert got[4]["redacted"] == "" and got[4]["n_cc_candidates"] == 0
+
+    rng = np.random.default_rng(20260817)
+    cards = [
+        " ".join("".join(str(d) for d in rng.integers(0, 10, 4)) for _ in range(4))
+        for _ in range(120)
+    ]
+    fuzz = spark.createDataFrame(
+        [(i, f"x {c} y") for i, c in enumerate(cards)], "doc_id long, text string"
+    )
+    fgot = {int(r["doc_id"]): r for r in cc_luhn_stats(fuzz).collect()}
+    n_valid_ref = 0
+    for i, c in enumerate(cards):
+        want_valid = luhn_ok(c)
+        n_valid_ref += want_valid
+        assert fgot[i]["n_cc_valid"] == int(want_valid), (i, c)
+        assert fgot[i]["redacted"] == (f"x <CC> y" if want_valid else f"x {c} y")
+    assert 0 < n_valid_ref < 120  # the fuzz actually crosses the boundary
+
+    plan = audit.physical_plan(cc_luhn_stats(docs))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+# ------------------------------------------------- perplexity sampling
+
+def test_perplexity_sample_semantics(spark):
+    """perplexity_sample must keep exactly the docs whose Knuth-hash
+    falls under their bucket's rate (set-identical to a Python
+    reference over the bucket labels), keep every head doc at rate
+    1.0, and reject malformed rate dicts."""
+    from semantic_search_engine_spark.operators.textstats import (
+        _HASH_K, _HASH_MOD, PPLX_SAMPLE_RATES,
+        perplexity_buckets, perplexity_sample,
+    )
+
+    docs = generate_webtext(spark, 120).withColumnRenamed("url", "u")
+    docs = docs.select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    ).cache()
+    labels = {
+        int(r["doc_id"]): r["bucket"]
+        for r in perplexity_buckets(docs, sample_mod=1).collect()
+    }
+    kept = {
+        int(r["doc_id"])
+        for r in perplexity_sample(docs, sample_mod=1).collect()
+    }
+    want = {
+        did
+        for did, b in labels.items()
+        if ((did * _HASH_K) % _HASH_MOD) / _HASH_MOD < PPLX_SAMPLE_RATES[b]
+    }
+    assert kept == want
+    heads = {did for did, b in labels.items() if b == "head"}
+    assert heads <= kept  # rate 1.0 keeps every head doc
+    assert kept < set(labels)  # and the thinning actually drops some
+    with pytest.raises(ValueError):
+        perplexity_sample(docs, rates={"head": 1.5}, sample_mod=1)
+    with pytest.raises(ValueError):
+        perplexity_sample(docs, rates={"bogus": 0.5}, sample_mod=1)
+    docs.unpersist()
