@@ -83,12 +83,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle(k: int) -> str:
+def _bm25_oracle(k: int, exclude: str | None = None) -> str:
     # dl is derived from `documents` directly (not from the unnested tok
     # CTE) so zero-token docs contribute dl=0 to avgdl — matching the
     # engine, which averages dl over ALL docs (corpus_stats/finalize).
+    # `exclude` reproduces the MUST_NOT semantics: docs containing the
+    # excluded term are dropped BEFORE ranking; survivors keep their
+    # corpus-global BM25 score (exclusion is a filter, not a corpus
+    # change).
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     tok = TOK_SQL.format(col="text")
+    not_in = (
+        f"WHERE tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{exclude}')"
+        if exclude else ""
+    )
     return f"""
 WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -101,6 +109,7 @@ sc AS (
          sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
               * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
   FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  {not_in}
   GROUP BY 1
 ),
 rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
@@ -149,6 +158,30 @@ def _serve_wand(spark: SparkSession, d: str, vectorized: bool | None = None) -> 
         [{"qid": 0, "query": BM25_QUERY, "k": BM25_K}],
         keep_boundary_ties=True,
         vectorized=vectorized,
+    )
+    return _docmap_rerank(spark, d, res)
+
+
+BM25_EXCLUDE = "batch"  # in 8 of the unfiltered top-10 at sf0.01 — the
+# exclusion visibly reshapes the ranking, so the check is non-vacuous
+
+
+def q_bm25_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style boolean MUST_NOT on the WAND path: the standard
+    BM25 batch query with `exclude="batch"` — docs containing the
+    excluded term are disqualified BEFORE top-k (and before θ seeding,
+    so the block cut stays sound; see search_index_wand). Scores of
+    surviving docs are the plain corpus-global BM25 — exclusion is a
+    filter, not a corpus change — which the oracle reproduces with a
+    NOT-IN subquery over the token table."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+
+    q_bm25_wand_topk(spark, sf_dir)  # ensure the cached index exists
+    d = _WAND_CACHE[os.path.abspath(sf_dir)]
+    res = search_index_wand(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": BM25_QUERY, "k": BM25_K, "exclude": BM25_EXCLUDE}],
+        keep_boundary_ties=True,
     )
     return _docmap_rerank(spark, d, res)
 
@@ -1394,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
+        "bm25_boolean_topk": q_bm25_boolean_topk,
         "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
@@ -1583,6 +1617,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "bm25_topk": _bm25_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_wand_vectorized_topk": _bm25_oracle(BM25_K),
+        "bm25_boolean_topk": _bm25_oracle(BM25_K, exclude=BM25_EXCLUDE),
         "bm25_conjunctive_topk": _bm25_conjunctive_oracle(BM25_K),
         "bm25_phrase_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),

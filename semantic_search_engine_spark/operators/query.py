@@ -243,7 +243,21 @@ def search_index_wand(
     the θ=1.0 WAND bound guarantees the loop path's pruned candidates
     can never reach the top-k boundary. Requires ``theta_factor=1.0``
     (the approximate mode is a pruning dial, which this path has no
-    analog for)."""
+    analog for).
+
+    A query dict may carry ``"exclude"`` — Lucene's BooleanQuery
+    MUST_NOT: its tokens disqualify any doc containing them, applied
+    BEFORE top-k selection so excluded docs never occupy result slots.
+    Exclusion terms are never scored; their postings ride the scan so
+    each shard kernel can subtract their docs locally (a doc's
+    postings all live in one shard). In the loop kernel the subtract
+    reads only exclusion blocks overlapping the candidate range and
+    ALSO applies to the θ seed (an excluded doc's score would inflate
+    θ above the true k-th valid score and make the block cut unsound);
+    the vectorized kernel zeroes the excluded docs' score cells — the
+    same surviving rows bit-for-bit. An OOV exclude term excludes
+    nothing; plain and MUST_NOT queries mix freely in one batch, in
+    both kernels."""
     if vectorized and theta_factor != 1.0:
         raise ValueError(
             "vectorized scoring is exhaustive-exact and has no analog of "
@@ -259,19 +273,31 @@ def search_index_wand(
 
     spark = reader.spark
     plan, terms = _query_plan(queries)
+    # Lucene-style MUST_NOT: a query dict's "exclude" string tokenizes
+    # to terms whose presence disqualifies a doc. Exclusion terms are
+    # never scored — their postings ride along in the scan only so each
+    # shard kernel can subtract their docs (a doc's postings all live
+    # in one shard, so exclusion is group-local exact). An OOV exclude
+    # term excludes nothing.
+    xmap = {
+        int(q["qid"]): sorted(set(tokenize(q.get("exclude", ""))))
+        for q in queries
+    }
+    xterms = sorted({t for xs in xmap.values() for t in xs})
     if distributed_idf is None:
         distributed_idf = len(terms) > int(_os.environ.get("SSSE_IDF_COLLECT_MAX", "100000"))
     if distributed_idf:
         idf_map = None
-        known_plan = [(q, k, ts) for q, k, ts in plan if ts]
+        known_plan = [(q, k, ts, xmap[q]) for q, k, ts in plan if ts]
     else:
         idf_map = reader.idf_map(terms)
         if not idf_map:
             return _empty_result(spark)
         known_plan = [
-            (qid, k, [t for t in ts if t in idf_map]) for qid, k, ts in plan
+            (qid, k, [t for t in ts if t in idf_map], xmap[qid])
+            for qid, k, ts in plan
         ]
-        known_plan = [(q, k, ts) for q, k, ts in known_plan if ts]
+        known_plan = [(q, k, ts, xs) for q, k, ts, xs in known_plan if ts]
     if not known_plan:
         return _empty_result(spark)
     if vectorized is None:
@@ -299,12 +325,16 @@ def search_index_wand(
     if distributed_idf:
         # term filter + idf as a broadcast JOIN instead of an isin
         # literal + driver dict: scales to 10^6-distinct-term batches
-        # with zero O(terms) Python state on the driver
-        terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+        # with zero O(terms) Python state on the driver. Exclusion
+        # terms join too (their idf is ignored; only their docids are
+        # read in the kernels).
+        scan_terms = sorted(set(terms) | set(xterms))
+        terms_df = spark.createDataFrame([(t,) for t in scan_terms], "term string")
         term_idf = reader.dictionary().join(F.broadcast(terms_df), "term").select("term", "idf")
         blocks = reader.postings().join(F.broadcast(term_idf), "term")
     else:
-        blocks = reader.postings().filter(F.col("term").isin(list(idf_map)))
+        scan_terms = sorted(set(idf_map) | set(xterms))
+        blocks = reader.postings().filter(F.col("term").isin(scan_terms))
     blocks = blocks.withColumn("_qgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
 
     def wand_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -354,8 +384,25 @@ def search_index_wand(
                     out[t] = (np.empty(0, np.int64),) * 3
             return out
 
+        def drop_excluded(cands: np.ndarray, xs: list[str]) -> np.ndarray:
+            """Remove candidates containing ANY exclusion term, reading
+            only exclusion blocks that overlap the candidate range (the
+            same block-subset select as per_term_for)."""
+            if not xs or cands.size == 0:
+                return cands
+            xparts = []
+            for t in xs:
+                for i in pos_by_term.get(t, ()):
+                    lo = np.searchsorted(cands, first[i])
+                    hi = np.searchsorted(cands, last[i], side="right")
+                    if hi > lo:
+                        xparts.append(dec(int(i))[0])
+            if not xparts:
+                return cands
+            return cands[~np.isin(cands, np.concatenate(xparts))]
+
         outs = []
-        for qid, k, qterms in known_plan:
+        for qid, k, qterms, xs in known_plan:
             q_pos = [p for t in qterms for p in pos_by_term.get(t, ())]
             if not q_pos:
                 continue
@@ -363,9 +410,12 @@ def search_index_wand(
             sigma = {t: float(bm[pos_by_term[t]].max()) for t in qterms if t in pos_by_term}
             sig_sum = float(sum(sigma.values()))
 
-            # seed θ from the highest-block_max block of this query
+            # seed θ from the highest-block_max block of this query.
+            # Exclusion applies BEFORE seeding: an excluded doc's score
+            # would inflate θ above the true k-th valid score and make
+            # the block cut unsound.
             seed_i = int(q_pos[bm[q_pos].argmax()])
-            seed_docs = dec(seed_i)[0]
+            seed_docs = drop_excluded(dec(seed_i)[0], xs)
             seed_scores = _score_candidates(seed_docs, per_term_for(seed_docs, qterms), idf_map, avgdl)
             theta = float(np.sort(seed_scores)[-k]) if seed_scores.size >= k else float("-inf")
 
@@ -383,13 +433,19 @@ def search_index_wand(
                 # candidate re-lookup)
                 decs = [dec(int(i)) for i in kept]
                 cands = np.concatenate([d0 for d0, _, _ in decs])
-                scores = impact_np(
-                    np.concatenate([d1 for _, d1, _ in decs]),
-                    np.concatenate([d2 for _, _, d2 in decs]),
-                    idf_map[qterms[0]], avgdl,
-                )
+                tfs = np.concatenate([d1 for _, d1, _ in decs])
+                dls = np.concatenate([d2 for _, _, d2 in decs])
+                if xs:
+                    keep_m = np.isin(cands, drop_excluded(cands, xs))
+                    cands, tfs, dls = cands[keep_m], tfs[keep_m], dls[keep_m]
+                if cands.size == 0:
+                    continue
+                scores = impact_np(tfs, dls, idf_map[qterms[0]], avgdl)
             else:
                 cands = np.unique(np.concatenate([dec(int(i))[0] for i in kept]))
+                cands = drop_excluded(cands, xs)
+                if cands.size == 0:
+                    continue
                 scores = _score_candidates(cands, per_term_for(cands, qterms), idf_map, avgdl)
             if scores.size > k:
                 # head-term queries score 10^5+ candidates: full lexsort
@@ -445,8 +501,10 @@ def search_index_wand(
             pdf["docids_bin"], pdf["tfs_bin"], pdf["dls_bin"],
         )
         terms_arr = pdf["term"].to_numpy()
+        # exclusion-only terms have no idf in the collected map; their
+        # impacts are never added (t2q maps positive terms only)
         idf_rep = np.repeat(
-            np.array([idf_map[t] for t in terms_arr], dtype=np.float64), ns
+            np.array([idf_map.get(t, 0.0) for t in terms_arr], dtype=np.float64), ns
         )
         imp_all = impact_np(tf_all, dl_all, idf_rep, avgdl)
         D = np.unique(d_all)  # dense doc axis of the score matrix
@@ -461,17 +519,24 @@ def search_index_wand(
             for t, s, e in zip(terms_arr[t_first], t_start, t_end)
         }
         # reverse index: term -> ordinals of the batch queries using it
+        # (and x2q for exclusion terms — their docs are zeroed after
+        # accumulation, the vectorized form of the loop path's subtract)
         t2q: dict[str, list[int]] = {}
+        x2q: dict[str, list[int]] = {}
         n_q = len(known_plan)
         ks = np.empty(n_q, dtype=np.int64)
         qids = np.empty(n_q, dtype=np.int64)
-        for qi, (qid, k, qterms) in enumerate(known_plan):
+        for qi, (qid, k, qterms, xs) in enumerate(known_plan):
             ks[qi], qids[qi] = k, qid
             for t in qterms:
                 if t in term_slice:
                     t2q.setdefault(t, []).append(qi)
+            for t in xs:
+                if t in term_slice:
+                    x2q.setdefault(t, []).append(qi)
         t2q_arr = {t: np.asarray(v, dtype=np.int64) for t, v in t2q.items()}
         sorted_terms = sorted(t2q_arr)
+        x2q_arr = {t: np.asarray(v, dtype=np.int64) for t, v in x2q.items()}
         # chunk width bounds the matrix at |D| × chunk doubles — and the
         # cell budget bounds it ABSOLUTELY (default 32M cells ≈ 256 MB
         # float64 per task): a fat shard group at 100-TB scale shrinks
@@ -504,6 +569,18 @@ def search_index_wand(
                 else:
                     for q in qs:
                         scores[q - c0, r] += v
+            # MUST_NOT: zero the excluded docs' cells — the col > 0
+            # filter below then drops them, matching the loop kernel's
+            # candidate subtraction row-for-row
+            for t in sorted(x2q_arr):
+                qs = x2q_arr[t]
+                qs = qs[np.searchsorted(qs, c0) : np.searchsorted(qs, c1)]
+                if qs.size == 0:
+                    continue
+                s, e = term_slice[t]
+                r = row_all[s:e]
+                for q in qs:
+                    scores[q - c0, r] = 0.0
             for j in range(c1 - c0):
                 col = scores[j]
                 k = int(ks[c0 + j])

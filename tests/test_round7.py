@@ -950,3 +950,68 @@ def test_perplexity_sample_semantics(spark):
     with pytest.raises(ValueError):
         perplexity_sample(docs, rates={"bogus": 0.5}, sample_mod=1)
     docs.unpersist()
+
+
+# ------------------------------------------------- boolean MUST_NOT
+
+def test_wand_must_not_semantics(spark, wand_index7):
+    """exclude='...' must drop exactly the docs containing any exclude
+    term BEFORE top-k (reference: the unfiltered full ranking minus the
+    exclude term's posting docs), be a no-op for OOV excludes, void a
+    fully-excluded query, and stay loop/vectorized identical."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_wand
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    reader = IndexReader(spark, wand_index7)
+    BIG = 10**6
+    base = search_index_wand(
+        reader, [{"qid": 0, "query": "bababa cecece", "k": BIG}]
+    ).collect()
+    base10 = [(r["docid"], r["score"]) for r in sorted(base, key=lambda r: r["rank"])[:10]]
+    # exclude a term FROM the base top-1 doc, so the exclusion is
+    # structurally guaranteed to change the top-10
+    docmap = {r["docid"]: r["url"] for r in read_docmap(spark, wand_index7).collect()}
+    texts = {r["url"]: r["text"] for r in generate_webtext(spark, 2000).collect()}
+    xterm = next(
+        t for t in tokenize(texts[docmap[base10[0][0]]])
+        if t not in ("bababa", "cecece")
+    )
+    has_x = {
+        r["docid"]
+        for r in search_index_wand(
+            reader, [{"qid": 0, "query": xterm, "k": BIG}]
+        ).collect()
+    }
+    want = sorted(
+        ((r["docid"], r["score"]) for r in base if r["docid"] not in has_x),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got_rows = search_index_wand(
+        reader,
+        [{"qid": 0, "query": "bababa cecece", "k": 10, "exclude": xterm}],
+    ).collect()
+    got = [(r["docid"], r["score"]) for r in sorted(got_rows, key=lambda r: r["rank"])]
+    assert got == want
+    assert got != base10  # the top-1 doc carries xterm, so it dropped
+
+    batch = [
+        {"qid": 0, "query": "bababa cecece", "k": 10, "exclude": "dadada"},
+        {"qid": 1, "query": "bababa", "k": 5, "exclude": "zzzznope"},  # OOV excl
+        {"qid": 2, "query": "bababa", "k": 5, "exclude": "bababa"},   # voids itself
+        {"qid": 3, "query": "cecece dadada", "k": 7},                  # no exclude
+    ]
+    loop = search_index_wand(reader, batch, vectorized=False).collect()
+    vec = search_index_wand(reader, batch, vectorized=True).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert sorted(((r["qid"], r["rank"], r["docid"], r["score"]) for r in loop)) == \
+           sorted(((r["qid"], r["rank"], r["docid"], r["score"]) for r in vec))
+    by_q = {}
+    for r in loop:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert 2 not in by_q  # fully excluded query emits nothing
+    # OOV exclude == no exclude
+    plain = search_index_wand(reader, [{"qid": 1, "query": "bababa", "k": 5}]).collect()
+    assert sorted((r["rank"], r["docid"], r["score"]) for r in by_q[1]) == \
+           sorted((r["rank"], r["docid"], r["score"]) for r in plain)
