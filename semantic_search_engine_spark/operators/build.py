@@ -893,6 +893,8 @@ def compact_generations(
     tier_k: int = 4,
     max_merges: int | None = None,
     gc: bool = True,
+    snapshot_after: int = 0,
+    snapshot_tag_horizon: int | None = None,
 ) -> int:
     """Size-tiered LSM compaction: while any size class holds ≥
     ``tier_k`` live generations, k-way-merge the ``tier_k`` smallest of
@@ -922,7 +924,30 @@ def compact_generations(
     file handles into them; a deployment with concurrent readers
     compacts with gc=False and calls :func:`gc_retired` from a quiet
     window once in-flight readers drain — the standard LSM
-    reader-grace discipline."""
+    reader-grace discipline.
+
+    ``snapshot_after=N`` is the metadata auto-policy: when the current
+    epoch's generations log holds ≥ N committed compaction records
+    AFTER this run's merges, fold it with
+    :func:`index_store.snapshot_manifest` — the policy is keyed on
+    compaction COUNT because that (not live size, not batch count) is
+    exactly what grows every future ``read_manifest``'s retire-range
+    predicates and the log. A batch-maintenance caller then never
+    needs to schedule snapshots separately: compact in a loop and
+    metadata stays O(live) forever. 0 (default) keeps snapshots
+    manual. ``snapshot_tag_horizon`` is forwarded verbatim — the same
+    opt-in replay-fencing contract documented at
+    ``snapshot_manifest``. Requires the snapshot's quiet-window
+    discipline: with ``gc=False`` the snapshot itself would GC retired
+    dirs, so the combination refuses loudly rather than silently
+    breaking reader grace."""
+    if snapshot_after > 0 and not gc:
+        raise ValueError(
+            "snapshot_after with gc=False would GC retired dirs inside "
+            "snapshot_manifest and break the reader-grace deferral — "
+            "snapshot from the quiet window instead (gc_retired + "
+            "snapshot_manifest)"
+        )
     if tier_k < 2:
         raise ValueError(f"tier_k must be >= 2, got {tier_k}")
     # recovery: leftover stage dirs + retired dirs from a killed run
@@ -954,6 +979,13 @@ def compact_generations(
             break
         _merge_tier(spark, index_dir, tier, gc=gc)
         merges += 1
+    if (
+        snapshot_after > 0
+        and len(index_store.compact_records(index_dir)) >= snapshot_after
+    ):
+        index_store.snapshot_manifest(
+            spark, index_dir, tag_horizon=snapshot_tag_horizon
+        )
     return merges
 
 

@@ -276,3 +276,42 @@ def test_snapshot_floor_refusals_and_allocation(spark, tmp_path):
     new_gen = index_store.ingest_records(d)[-1]
     assert int(new_gen["shard_base"]) >= floor
     docs.unpersist()
+
+
+def test_compaction_snapshot_auto_policy(spark, tmp_path_factory):
+    """compact_generations(snapshot_after=N) must fold the log
+    automatically once the epoch accumulates >= N compaction records
+    (epoch advances, compaction records reset, floors recorded), keep
+    serving identical to a full build, and refuse gc=False (the
+    snapshot would GC retired dirs and break reader grace)."""
+    from semantic_search_engine_spark.operators.build import (
+        build_index,
+        compact_generations,
+        finalize_index,
+        ingest_generation,
+    )
+    from semantic_search_engine_spark.sources import index_store
+
+    docs = generate_webtext(spark, 800).cache()
+    docs.count()
+    d_full = str(tmp_path_factory.mktemp("auto_full"))
+    build_index(docs, d_full, num_shards=4)
+
+    d = str(tmp_path_factory.mktemp("auto_inc"))
+    records_seen = []
+    for i in range(4):
+        part = docs.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == i)
+        ingest_generation(part, d, num_shards=2, finalize=False)
+        compact_generations(spark, d, tier_k=2, snapshot_after=2)
+        records_seen.append(len(index_store.compact_records(d)))
+    # the policy held: no epoch ever ends a maintenance call with >= 2
+    # compaction records, and at least one snapshot actually fired
+    assert all(n < 2 for n in records_seen), records_seen
+    assert index_store.current_epoch(d) >= 1
+    assert index_store.snapshot_floors(d) > (0, 0)
+    finalize_index(spark, d)
+    queries = generate_queries()[:5]
+    assert _served_rows(spark, d, queries) == _served_rows(spark, d_full, queries)
+    with pytest.raises(ValueError):
+        compact_generations(spark, d, tier_k=2, snapshot_after=2, gc=False)
+    docs.unpersist()
