@@ -1253,9 +1253,15 @@ class LocalIndexProbe:
                 self._load_terms(union[i : i + 512])
             return [self.search(q, k=k) for q in queries]
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+    def search(
+        self, query: str, k: int = 10, exclude: str = ""
+    ) -> list[tuple[int, int, float]]:
         """[(rank, docid, score)] — identical rows to the distributed
-        exact paths for this (query, k)."""
+        exact paths for this (query, k). ``exclude`` is the MUST_NOT
+        contract of ``search_index_wand``: its tokens disqualify docs
+        BEFORE top-k; surviving scores are unchanged (exclusion is a
+        filter), so rows stay identical to the distributed boolean
+        path. Excluded terms' postings cache in the same LRU."""
         terms = sorted(set(tokenize(query)))
         loaded = self._load_terms(terms)
         if not loaded:
@@ -1263,6 +1269,14 @@ class LocalIndexProbe:
         idf_map = {t: v[0] for t, v in loaded.items()}
         per_term = {t: (v[1], v[2], v[3]) for t, v in loaded.items()}
         cands = np.unique(np.concatenate([v[1] for v in loaded.values()]))
+        xterms = sorted(set(tokenize(exclude))) if exclude else []
+        if xterms:
+            xloaded = self._load_terms(xterms)
+            if xloaded:
+                xdocs = np.concatenate([v[1] for v in xloaded.values()])
+                cands = cands[~np.isin(cands, xdocs)]
+                if cands.size == 0:
+                    return []
         scores = _score_candidates(cands, per_term, idf_map, self.avgdl)
         if scores.size > k:
             kth = np.partition(scores, scores.size - k)[scores.size - k]

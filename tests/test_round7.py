@@ -995,6 +995,12 @@ def test_wand_must_not_semantics(spark, wand_index7):
     got = [(r["docid"], r["score"]) for r in sorted(got_rows, key=lambda r: r["rank"])]
     assert got == want
     assert got != base10  # the top-1 doc carries xterm, so it dropped
+    # driver-local probe: same MUST_NOT contract, identical rows
+    from semantic_search_engine_spark.operators.query import LocalIndexProbe
+
+    probe = LocalIndexProbe(wand_index7)
+    assert [(d, s) for _, d, s in probe.search("bababa cecece", k=10, exclude=xterm)] == want
+    assert probe.search("bababa", k=5, exclude="bababa") == []
 
     batch = [
         {"qid": 0, "query": "bababa cecece", "k": 10, "exclude": "dadada"},
