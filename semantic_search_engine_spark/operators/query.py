@@ -401,7 +401,9 @@ def search_index_wand(
                 return cands
             return cands[~np.isin(cands, np.concatenate(xparts))]
 
-        outs = []
+        # plain-array accumulation, one DataFrame per group (not per
+        # query) — the phrase kernel's measured constructor-overhead fix
+        out_qid, out_k, out_docid, out_score = [], [], [], []
         for qid, k, qterms, xs in known_plan:
             q_pos = [p for t in qterms for p in pos_by_term.get(t, ())]
             if not q_pos:
@@ -458,22 +460,23 @@ def search_index_wand(
             order = np.lexsort((cands, -scores))
             if not keep_boundary_ties:
                 order = order[:k]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "qid": np.full(order.size, qid, dtype=np.int32),
-                        "k": np.full(order.size, k, dtype=np.int32),
-                        "docid": cands[order],
-                        "score": scores[order],
-                    }
-                )
-            )
-        if not outs:
+            out_qid.append(np.full(order.size, qid, dtype=np.int32))
+            out_k.append(np.full(order.size, k, dtype=np.int32))
+            out_docid.append(cands[order])
+            out_score.append(scores[order])
+        if not out_qid:
             return pd.DataFrame(
                 {c: pd.Series(dtype=t) for c, t in
                  [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]}
             )
-        return pd.concat(outs)
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_qid),
+                "k": np.concatenate(out_k),
+                "docid": np.concatenate(out_docid),
+                "score": np.concatenate(out_score),
+            }
+        )
 
     def wand_shard_vec(key, pdf: pd.DataFrame) -> pd.DataFrame:
         """Cross-query vectorized scorer (mega-batch mode): one decode +
@@ -1014,18 +1017,34 @@ def search_index_phrase(
         # blocks grouped per term, NOT decoded yet — decode is driven
         # rarest-first per query below. Runs are first_docid-ordered and
         # docid-disjoint, so any subset's concatenation is sorted-unique.
+        # ONE sort + plain NumPy column arrays with a (start, end) slice
+        # per term: the per-term pandas sub-DataFrames this replaces
+        # spent more kernel time in pandas bookkeeping (per-term
+        # sort_values, Series.sum, __getitem__) than in decode + span
+        # verification combined (profiled at 10³-query width).
+        pdf = pdf.sort_values(["term", "first_docid"], kind="stable", ignore_index=True)
+        term_np = pdf["term"].to_numpy()
+        first_np = pdf["first_docid"].to_numpy()
+        last_np = pdf["last_docid"].to_numpy()
+        n_np = pdf["n"].to_numpy()
+        dbin_np = pdf["docids_bin"].to_numpy()
+        tbin_np = pdf["tfs_bin"].to_numpy()
+        lbin_np = pdf["dls_bin"].to_numpy()
+        pbin_np = pdf["positions_bin"].to_numpy()
+        blk_new = np.concatenate([[True], term_np[1:] != term_np[:-1]])
+        t_starts = np.flatnonzero(blk_new)
+        t_ends = np.concatenate([t_starts[1:], [len(term_np)]])
         by_term = {
-            t: rows.sort_values("first_docid")
-            for t, rows in pdf.groupby("term", sort=False)
+            term_np[s]: (int(s), int(e)) for s, e in zip(t_starts, t_ends)
         }
+        n_sum = {t: int(n_np[s:e].sum()) for t, (s, e) in by_term.items()}
         full_cache: dict[str, tuple] = {}
 
-        def decode_rows(rows) -> tuple:
+        def decode_rows(idx) -> tuple:
             d, tf, dl, _ = decode_blocks_batch(
-                rows["first_docid"].to_numpy(), rows["n"].to_numpy(),
-                rows["docids_bin"], rows["tfs_bin"], rows["dls_bin"],
+                first_np[idx], n_np[idx], dbin_np[idx], tbin_np[idx], lbin_np[idx]
             )
-            pos, rs = decode_positions(tf, rows["positions_bin"])
+            pos, rs = decode_positions(tf, pbin_np[idx])
             return (d, tf, dl, pos, rs)
 
         # a term used by SEVERAL of the batch's queries decodes FULLY
@@ -1047,15 +1066,21 @@ def search_index_phrase(
 
         def full_decode(t: str) -> tuple:
             if t not in full_cache:
-                full_cache[t] = decode_rows(by_term[t])
+                s, e = by_term[t]
+                full_cache[t] = decode_rows(slice(s, e))
             return full_cache[t]
 
         def prefer_full(t: str) -> bool:
+            s, e = by_term[t]
             return t in full_cache or (
-                use_counts[t] >= 2 and len(by_term[t]) <= 8 * use_counts[t]
+                use_counts[t] >= 2 and (e - s) <= 8 * use_counts[t]
             )
 
-        outs = []
+        # accumulate plain arrays and build ONE DataFrame per group —
+        # a per-query pd.DataFrame costs ~100 µs of constructor
+        # overhead, which at (10³ queries × n_groups) was a measured
+        # ~20% of the whole mega-batch (the wand_shard_vec discipline)
+        out_qid, out_k, out_docid, out_score = [], [], [], []
         for qid, k, words, gap, uo in known_plan:
             qterms = sorted(set(words))
             if any(t not in by_term for t in qterms):
@@ -1067,7 +1092,7 @@ def search_index_phrase(
             # contains the hit, and the hit was a candidate when t's
             # blocks were selected — so kept blocks cover every hit for
             # both verification and scoring.
-            order_t = sorted(qterms, key=lambda t: (int(by_term[t]["n"].sum()), t))
+            order_t = sorted(qterms, key=lambda t: (n_sum[t], t))
             data: dict[str, tuple] = {order_t[0]: full_decode(order_t[0])}
             cands = data[order_t[0]][0]
             for t in order_t[1:]:
@@ -1077,14 +1102,14 @@ def search_index_phrase(
                     data[t] = full_decode(t)
                     cands = np.intersect1d(cands, data[t][0], assume_unique=True)
                     continue
-                rows = by_term[t]
-                lo = np.searchsorted(cands, rows["first_docid"].to_numpy())
-                hi = np.searchsorted(cands, rows["last_docid"].to_numpy(), side="right")
+                s, e = by_term[t]
+                lo = np.searchsorted(cands, first_np[s:e])
+                hi = np.searchsorted(cands, last_np[s:e], side="right")
                 sel = np.flatnonzero(hi > lo)
                 if sel.size == 0:
                     cands = np.empty(0, dtype=np.int64)
                     break
-                data[t] = decode_rows(rows.iloc[sel])
+                data[t] = decode_rows(sel + s)
                 cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 continue
@@ -1105,17 +1130,20 @@ def search_index_phrase(
             order = np.lexsort((hits, -scores))
             if not keep_boundary_ties:
                 order = order[:k]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "qid": np.full(order.size, qid, dtype=np.int32),
-                        "k": np.full(order.size, k, dtype=np.int32),
-                        "docid": hits[order],
-                        "score": scores[order],
-                    }
-                )
-            )
-        return pd.concat(outs) if outs else empty
+            out_qid.append(np.full(order.size, qid, dtype=np.int32))
+            out_k.append(np.full(order.size, k, dtype=np.int32))
+            out_docid.append(hits[order])
+            out_score.append(scores[order])
+        if not out_qid:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_qid),
+                "k": np.concatenate(out_k),
+                "docid": np.concatenate(out_docid),
+                "score": np.concatenate(out_score),
+            }
+        )
 
     local = blocks.groupBy("_qgroup").applyInPandas(phrase_shard, RESULT_SCHEMA)
     if keep_boundary_ties:
