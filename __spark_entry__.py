@@ -906,6 +906,44 @@ def _docs_with_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", t.alias("text"))
 
 
+IBAN_STEP_VAR, IBAN_STEP_VALID, IBAN_STEP_INVALID = 5, 6, 9
+
+
+def _docs_with_ibans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN-bearing view: a doc_id-parametrized account run (residue 5
+    — mod-97 validity DATA-driven, ~1/97 of them land valid), a known
+    valid German IBAN (residue 6), and a known-invalid off-by-one
+    (residue 9). The corpus text is lowercase, so the uppercase
+    candidate pattern can never bite base text — every candidate is an
+    injected one, deterministic in both engines."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    var = F.concat(
+        F.lit(" acct GB00TEST"), F.lpad((i % 100_000_000).cast("string"), 8, "0")
+    )
+    t = F.concat(
+        F.col("text"),
+        F.when(i % IBAN_STEP_VAR == 0, var).otherwise(F.lit("")),
+        F.when(
+            i % IBAN_STEP_VALID == 0, F.lit(" iban DE89370400440532013000")
+        ).otherwise(F.lit("")),
+        F.when(
+            i % IBAN_STEP_INVALID == 0, F.lit(" ref GB82WEST12345698765433")
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def q_pii_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mod-97 IBAN validation (ISO 13616), the second regex-then-
+    checksum cleaner: IBAN-shaped runs counted, checksum-folded in
+    pure integer column math (streaming remainder — the 68-digit
+    number never materializes), only valid ones masked
+    (operators/textstats.py:iban_stats). The oracle refolds the
+    remainder independently with DuckDB list_reduce."""
+    return textstats.iban_stats(_docs_with_ibans(spark, sf_dir))
+
+
 def q_pii_cc_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luhn-validated credit-card masking (the regex-then-checksum
     pattern of Dolma's pii tagger): card-shaped candidates counted,
@@ -1457,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "pii_stats_v2": q_pii_stats_v2,
         "pii_cc_luhn": q_pii_cc_luhn,
+        "pii_iban": q_pii_iban,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
         "corpus_filter_funnel_v3": q_corpus_filter_funnel_v3,
@@ -1862,6 +1901,48 @@ SELECT doc_id,
 FROM r2
 """,
         "pii_stats_v2": _pii_v2_oracle_sql(),
+        "pii_iban": f"""
+WITH pv AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % {IBAN_STEP_VAR} = 0
+         THEN ' acct GB00TEST' || lpad((doc_id % 100000000)::VARCHAR, 8, '0')
+         ELSE '' END ||
+    CASE WHEN doc_id % {IBAN_STEP_VALID} = 0
+         THEN ' iban DE89370400440532013000' ELSE '' END ||
+    CASE WHEN doc_id % {IBAN_STEP_INVALID} = 0
+         THEN ' ref GB82WEST12345698765433' ELSE '' END AS t
+  FROM documents
+),
+per AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, '{textstats.IBAN_CANDIDATE_PATTERN}') AS cands,
+         regexp_split_to_array(t, '{textstats.IBAN_CANDIDATE_PATTERN}') AS segs
+  FROM pv
+),
+v AS (
+  SELECT doc_id, t, cands, segs,
+         list_transform(cands, c -> (
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(
+               range(1, length(substring(c, 5) || substring(c, 1, 4)) + 1),
+               i -> ascii(substring(substring(c, 5) || substring(c, 1, 4), i::INT, 1))::BIGINT)),
+             (acc, a) -> ((acc * (CASE WHEN a <= 57 THEN 10 ELSE 100 END))
+                          + (CASE WHEN a <= 57 THEN a - 48 ELSE a - 55 END)) % 97
+           ) = 1
+         )) AS valid
+  FROM per
+)
+SELECT doc_id,
+       len(cands)::BIGINT AS n_iban_candidates,
+       len(list_filter(valid, x -> x))::BIGINT AS n_iban_valid,
+       CASE WHEN len(cands) = 0 THEN t
+            ELSE segs[1] || array_to_string(
+                   list_transform(range(1, len(cands) + 1), i ->
+                     (CASE WHEN valid[i] THEN '<IBAN>' ELSE cands[i] END) || segs[i + 1]),
+                   '')
+       END AS redacted
+FROM v
+""",
         "pii_cc_luhn": f"""
 WITH pv AS (
   SELECT doc_id, text ||

@@ -878,13 +878,34 @@ def cc_luhn_stats(
     input around each candidate. Everything is per-doc column math:
     ONE scan→project, ZERO shuffles, no UDF — the same 100-TB shape as
     :func:`pii_stats`."""
+    return _checksum_mask_stats(
+        docs, CC_CANDIDATE_PATTERN, luhn_valid_col, "<CC>", "cc",
+        id_col=id_col, text_col=text_col,
+    )
+
+
+def _checksum_mask_stats(
+    docs: DataFrame,
+    pattern: str,
+    valid_col_fn,
+    token: str,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared regex-then-checksum masking plan: candidates from
+    ``pattern``, per-candidate validity from ``valid_col_fn``, ONLY
+    valid candidates masked as ``token``, the text rebuilt from its
+    split form (see :func:`cc_luhn_stats` for the engine-parity
+    argument). Emits (id, n_<prefix>_candidates, n_<prefix>_valid,
+    redacted)."""
     text = F.col(text_col)
-    cands = F.regexp_extract_all(text, F.lit(CC_CANDIDATE_PATTERN), F.lit(0))
-    segs = F.split(text, CC_CANDIDATE_PATTERN)
+    cands = F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+    segs = F.split(text, pattern)
 
     def _stitch(acc, i):
         c = F.element_at(cands, i)
-        masked = F.when(luhn_valid_col(c), F.lit("<CC>")).otherwise(c)
+        masked = F.when(valid_col_fn(c), F.lit(token)).otherwise(c)
         return F.concat(acc, masked, F.element_at(segs, i + 1))
 
     # sequence(1, 0) would COUNT DOWN ([1, 0]); guard the no-match case.
@@ -893,12 +914,57 @@ def cc_luhn_stats(
             F.sequence(F.lit(1), F.size(cands)), F.element_at(segs, 1), _stitch
         )
     )
-    n_valid = F.size(F.filter(cands, lambda c: luhn_valid_col(c)))
+    n_valid = F.size(F.filter(cands, lambda c: valid_col_fn(c)))
     return docs.select(
         F.col(id_col),
-        F.size(cands).cast("long").alias("n_cc_candidates"),
-        n_valid.cast("long").alias("n_cc_valid"),
+        F.size(cands).cast("long").alias(f"n_{prefix}_candidates"),
+        n_valid.cast("long").alias(f"n_{prefix}_valid"),
         red.alias("redacted"),
+    )
+
+
+# IBAN validation, the mod-97 sibling of Luhn (ISO 13616 / ISO 7064):
+# move the first four chars to the end, map A-Z to 10-35, and the
+# resulting decimal number must be ≡ 1 (mod 97). The number is up to
+# 68 digits — far past int64 — but the standard streaming remainder
+# (acc = (acc·base + digit) mod 97, base 10 per digit / 100 per
+# letter) keeps every intermediate ≤ 9,635, so the fold is pure int32
+# column math both engines evaluate identically.
+IBAN_CANDIDATE_PATTERN = r"[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+
+
+def iban_valid_col(cand) -> "F.Column":
+    """True iff a contiguous IBAN-shaped candidate passes the mod-97
+    check. Checksum only — per-country length tables are a registry
+    lookup, not math, and belong to the caller's dimension data."""
+    r = F.concat(
+        F.substring(cand, F.lit(5), F.length(cand) - 4),
+        F.substring(cand, F.lit(1), F.lit(4)),
+    )
+
+    def _step(acc, i):
+        a = F.ascii(F.substring(r, i, 1))
+        is_digit = a <= 57
+        v = F.when(is_digit, a - 48).otherwise(a - 55)
+        mul = F.when(is_digit, F.lit(10)).otherwise(F.lit(100))
+        return (acc * mul + v) % 97
+
+    total = F.aggregate(F.sequence(F.lit(1), F.length(r)), F.lit(0), _step)
+    return total == 1
+
+
+def iban_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_iban_candidates, n_iban_valid, redacted) — contiguous
+    IBAN-shaped runs counted, mod-97-checked, and ONLY checksum-valid
+    ones masked as ``<IBAN>`` — the same regex-then-checksum cleaner
+    shape as :func:`cc_luhn_stats`, same ONE-scan zero-shuffle plan."""
+    return _checksum_mask_stats(
+        docs, IBAN_CANDIDATE_PATTERN, iban_valid_col, "<IBAN>", "iban",
+        id_col=id_col, text_col=text_col,
     )
 
 

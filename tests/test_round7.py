@@ -1021,3 +1021,73 @@ def test_wand_must_not_semantics(spark, wand_index7):
     plain = search_index_wand(reader, [{"qid": 1, "query": "bababa", "k": 5}]).collect()
     assert sorted((r["rank"], r["docid"], r["score"]) for r in by_q[1]) == \
            sorted((r["rank"], r["docid"], r["score"]) for r in plain)
+
+
+# ------------------------------------------------- mod-97 IBAN masking
+
+def test_iban_stats_semantics(spark):
+    """iban_stats must mask ONLY mod-97-valid candidates (exact
+    redacted strings on handcrafted mixed docs), agree with a Python
+    streaming-remainder reference over 150 random account runs, and
+    keep the zero-shuffle per-doc plan."""
+    from semantic_search_engine_spark.operators.textstats import iban_stats
+    from semantic_search_engine_spark.plans import audit
+
+    def mod97_ok(s: str) -> bool:
+        acc = 0
+        for ch in s[4:] + s[:4]:
+            if ch.isdigit():
+                acc = (acc * 10 + int(ch)) % 97
+            else:
+                acc = (acc * 100 + (ord(ch) - 55)) % 97
+        return acc == 1
+
+    assert mod97_ok("GB82WEST12345698765432")
+    assert not mod97_ok("GB82WEST12345698765433")
+
+    rows = [
+        (0, "pay GB82WEST12345698765432 now"),                      # valid
+        (1, "ref GB82WEST12345698765433 kept"),                     # invalid
+        (2, "a DE89370400440532013000 b GB00TEST00000001 c"),       # mixed
+        (3, "lowercase de89370400440532013000 never matches"),      # no cands
+        (4, ""),                                                    # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {int(r["doc_id"]): r for r in iban_stats(docs).collect()}
+    assert got[0]["redacted"] == "pay <IBAN> now"
+    assert (got[0]["n_iban_candidates"], got[0]["n_iban_valid"]) == (1, 1)
+    assert got[1]["redacted"] == rows[1][1]
+    assert (got[1]["n_iban_candidates"], got[1]["n_iban_valid"]) == (1, 0)
+    assert not mod97_ok("GB00TEST00000001")
+    assert got[2]["redacted"] == "a <IBAN> b GB00TEST00000001 c"
+    assert (got[2]["n_iban_candidates"], got[2]["n_iban_valid"]) == (2, 1)
+    assert got[3]["n_iban_candidates"] == 0 and got[3]["redacted"] == rows[3][1]
+    assert got[4]["redacted"] == ""
+
+    rng = np.random.default_rng(20260818)
+    accts = [
+        "GB00TEST" + "".join(str(d) for d in rng.integers(0, 10, 8))
+        for _ in range(150)
+    ]
+    # validity is ~1/97 per random account — force every 10th one valid
+    # by brute-forcing its last two digits against the reference, so the
+    # fuzz is guaranteed to cross the boundary in both directions
+    for i in range(0, 150, 10):
+        accts[i] = next(
+            a for d in range(100)
+            if mod97_ok(a := accts[i][:-2] + f"{d:02d}")
+        )
+    fuzz = spark.createDataFrame(
+        [(i, f"x {a} y") for i, a in enumerate(accts)], "doc_id long, text string"
+    )
+    fgot = {int(r["doc_id"]): r for r in iban_stats(fuzz).collect()}
+    n_valid_ref = 0
+    for i, a in enumerate(accts):
+        ok = mod97_ok(a)
+        n_valid_ref += ok
+        assert fgot[i]["n_iban_valid"] == int(ok), (i, a)
+        assert fgot[i]["redacted"] == ("x <IBAN> y" if ok else f"x {a} y")
+    assert 0 < n_valid_ref < 150  # the fuzz crosses the validity boundary
+
+    plan = audit.physical_plan(iban_stats(docs))
+    assert "Exchange" not in plan and "Join" not in plan
