@@ -1,7 +1,8 @@
 """Round-7 additions: gap-independent proximity-boost chain filter
 (sparse-table range max), vectorized mega-batch WAND kernel, line-level
-dedup signals, tiered LSM compaction, and the events_windowed driver
-entry."""
+dedup signals, tiered LSM compaction, the events_windowed driver entry,
+the Gopher funnel stage, Luhn/mod-97 checksum masking, deterministic
+perplexity-bucket sampling, and boolean MUST_NOT retrieval."""
 
 import numpy as np
 import pytest
