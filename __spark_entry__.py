@@ -1074,6 +1074,22 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIXTURE_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture reweighting: keep src0 whole, thin
+    src1/src2/src3 at 0.75/0.5/0.25, everything else at 0.1 — the
+    deterministic-hash keep decision of perplexity_sample applied by
+    group (operators/textstats.py:stratified_sample; pure filter, zero
+    shuffles). The oracle recomputes the hash and the rate CASE from
+    the same dict."""
+    return textstats.stratified_sample(
+        _docs(spark, sf_dir), MIXTURE_RATES, default_rate=MIXTURE_DEFAULT
+    ).select("doc_id", "source")
+
+
 def q_perplexity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's SAMPLING half: keep head docs, hash-thin middle/tail at
     the published-posture rates (1.0/0.5/0.1), the keep decision a
@@ -1488,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_stats": q_boilerplate_stats,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_sample": q_perplexity_sample,
+        "stratified_sample": q_stratified_sample,
         "gopher_rules": q_gopher_rules,
         "sequence_chunks": q_sequence_chunks,
         "unigram_logprob": q_unigram_logprob,
@@ -1600,6 +1617,15 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+def _mixture_case_sql() -> str:
+    """Rate CASE for the stratified-sample oracle, generated from
+    MIXTURE_RATES so the mixture cannot drift between engines."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}::DOUBLE" for k, v in sorted(MIXTURE_RATES.items())
+    )
+    return f"CASE source {whens} ELSE {float(MIXTURE_DEFAULT)!r}::DOUBLE END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1763,6 +1789,11 @@ FROM per
 """,
         "perplexity_buckets": pplx_buckets_sql,
         "perplexity_sample": pplx_sample_sql,
+        "stratified_sample": f"""
+SELECT doc_id, source FROM documents
+WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(textstats._HASH_MOD)!r}
+      < ({_mixture_case_sql()})
+""",
         "boilerplate_stats": f"""
 WITH crawl AS (
   SELECT doc_id, text FROM documents

@@ -1025,3 +1025,33 @@ def perplexity_sample(
         .otherwise(F.lit(float(rates.get("tail", 0.0))))
     )
     return b.filter(u < rate)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict,
+    default_rate: float = 0.0,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture reweighting: keep each doc iff its
+    deterministic id-hash (:func:`sample_hash_col`) falls under its
+    ``by``-group's rate — the per-source up/down-weighting every
+    published pretraining mixture applies (keep encyclopedic sources
+    whole, thin the crawl), with :func:`perplexity_sample`'s
+    reproducibility contract: the selected corpus is bit-identical
+    across engines, re-runs, and partitionings, which ``df.sample``
+    cannot promise. Groups absent from ``rates`` fall to
+    ``default_rate`` (0.0 = drop unlisted sources — the explicit
+    allowlist posture).
+
+    100-TB shape: ONE codegen CASE + hash-compare filter on the scan —
+    no shuffle, no RNG state, no group-by; the mixture is enforced
+    row-local."""
+    all_rates = list(rates.values()) + [default_rate]
+    if not all(0.0 <= float(v) <= 1.0 for v in all_rates):
+        raise ValueError(f"rates must be in [0, 1]: {rates}, default={default_rate}")
+    rate = F.lit(float(default_rate))
+    for key in sorted(rates, reverse=True):  # deterministic CASE order
+        rate = F.when(F.col(by) == key, F.lit(float(rates[key]))).otherwise(rate)
+    return docs.filter(sample_hash_col(F.col(id_col)) < rate)

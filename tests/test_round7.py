@@ -1092,3 +1092,40 @@ def test_iban_stats_semantics(spark):
 
     plan = audit.physical_plan(iban_stats(docs))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ------------------------------------------------- stratified mixture sample
+
+def test_stratified_sample_semantics(spark):
+    """stratified_sample must keep exactly the docs whose id-hash falls
+    under their source's rate (Python-reference set), drop unlisted
+    sources at default_rate=0, refuse out-of-range rates, and stay a
+    pure zero-shuffle filter."""
+    from semantic_search_engine_spark.operators.textstats import (
+        _HASH_K, _HASH_MOD, stratified_sample,
+    )
+    from semantic_search_engine_spark.plans import audit
+
+    rows = [(i, f"s{i % 4}", f"text {i}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = {"s0": 1.0, "s1": 0.5, "s3": 0.0}
+    kept = {
+        int(r["doc_id"])
+        for r in stratified_sample(docs, rates, default_rate=0.25).collect()
+    }
+    want = {
+        i for i, src, _ in rows
+        if ((i * _HASH_K) % _HASH_MOD) / _HASH_MOD < rates.get(src, 0.25)
+    }
+    assert kept == want
+    assert {i for i, s, _ in rows if s == "s0"} <= kept   # rate 1.0: all kept
+    assert not any(i % 4 == 3 for i in kept)              # rate 0.0: none
+    # allowlist posture: unlisted sources drop entirely at the default
+    none_unlisted = stratified_sample(docs, {"s0": 1.0}).collect()
+    assert {r["source"] for r in none_unlisted} == {"s0"}
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"s0": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"s0": 0.5}, default_rate=-0.1)
+    plan = audit.physical_plan(stratified_sample(docs, rates, default_rate=0.25))
+    assert "Exchange" not in plan and "Join" not in plan
