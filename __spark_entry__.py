@@ -434,6 +434,38 @@ def q_bm25_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docmap_rerank(spark, d, res)
 
 
+def q_bm25_near_windows_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR top-k WITH its highlight windows: each hit carries the
+    0-based token offsets of its leftmost-minimal ordered chain
+    (among chains achieving the doc's minimal span, the smallest end;
+    start = end − span) — search_index_phrase(emit_windows=True), the
+    Lucene-highlighting primitive. The oracle enumerates ALL valid
+    chains with the same chain join as bm25_near_topk and picks
+    min(span) then min(end) independently — ranking, scores, AND
+    offsets are hash-compared."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    d = _pos_index(spark, sf_dir)
+    res = search_index_phrase(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": NEAR_QUERY, "k": BM25_K}],
+        keep_boundary_ties=True,
+        max_gap=NEAR_GAP,
+        emit_windows=True,
+    )
+    docmap = read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
+    return (
+        res.join(docmap, "docid")
+        .withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= BM25_K)
+        .select(
+            "doc_id", "rank", F.round("score", 6).alias("score"),
+            "win_start", "win_end",
+        )
+    )
+
+
 NEAR_SPAN = 4  # unordered window span (33 matching docs at sf0.01)
 
 
@@ -564,6 +596,51 @@ sc AS (
 ),
 rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
 SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
+def _bm25_near_windows_oracle(k: int) -> str:
+    """bm25_near_topk's ranking + the leftmost-minimal chain window:
+    ALL valid chains enumerated by the same join, per doc min(span)
+    then min(end); engine offsets are 0-based vs generate_subscripts'
+    1-based, hence the −1."""
+    words = NEAR_QUERY.split()
+    terms = ", ".join(f"'{t}'" for t in sorted(set(words)))
+    tok = TOK_SQL.format(col="text")
+    joins, last = _near_chain_joins(words)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+tp AS (SELECT doc_id, unnest({tok}) AS term, generate_subscripts({tok}, 1) AS pos FROM documents),
+ch AS (
+  SELECT a.doc_id, a.pos AS s, {last}.pos AS e
+  FROM tp a {joins} WHERE a.term = '{words[0]}'
+),
+wm AS (SELECT doc_id, min(e - s) AS span FROM ch GROUP BY 1),
+pick AS (
+  SELECT ch.doc_id, min(ch.e) AS we
+  FROM ch JOIN wm USING (doc_id) WHERE ch.e - ch.s = wm.span
+  GROUP BY 1
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+       JOIN wm ON tf.doc_id = wm.doc_id CROSS JOIN st
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = (SELECT count(DISTINCT term) FROM q)
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT rk.doc_id, rk.rank::INT AS rank, round(rk.score, 6) AS score,
+       (pick.we - wm.span - 1)::BIGINT AS win_start,
+       (pick.we - 1)::BIGINT AS win_end
+FROM rk JOIN wm USING (doc_id) JOIN pick USING (doc_id)
+WHERE rk.rank <= {k}
 """
 
 
@@ -1486,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
         "bm25_near_topk": q_bm25_near_topk,
+        "bm25_near_windows_topk": q_bm25_near_windows_topk,
         "bm25_near_boosted_topk": q_bm25_near_boosted_topk,
         "bm25_near_unordered_topk": q_bm25_near_unordered_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
@@ -1687,6 +1765,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "bm25_phrase_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_near_topk": _bm25_near_oracle(BM25_K),
+        "bm25_near_windows_topk": _bm25_near_windows_oracle(BM25_K),
         "bm25_near_boosted_topk": _bm25_near_boosted_oracle(BM25_K),
         "bm25_near_unordered_topk": _bm25_near_unordered_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),

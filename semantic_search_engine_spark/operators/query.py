@@ -627,7 +627,9 @@ def search_index_wand(
     return _topk_window(local)
 
 
-def _phrase_survivors(cands: np.ndarray, words: list[str], data: dict) -> np.ndarray:
+def _phrase_survivors(
+    cands: np.ndarray, words: list[str], data: dict, with_window: bool = False
+):
     """Candidates (sorted docids, all containing every phrase term) →
     the subset where the words occur ADJACENTLY in order, from
     positions alone. data[t] = (docids, tfs, dls, positions,
@@ -638,9 +640,15 @@ def _phrase_survivors(cands: np.ndarray, words: list[str], data: dict) -> np.nda
     {cand_index·M + (p−j)} and a phrase occurrence is a key present in
     EVERY word's set — L−1 sorted intersections over the candidates'
     position runs, no per-doc Python loop. Duplicate phrase words reuse
-    the same decoded run at their own offsets (handled naturally)."""
+    the same decoded run at their own offsets (handled naturally).
+
+    ``with_window=True`` additionally returns the LEFTMOST match
+    window per hit, ``(hits, win_start, win_end)`` — every adjacency
+    window has span L−1, so leftmost-minimal degenerates to the first
+    occurrence (keys are sorted; the first key per doc is it)."""
     if cands.size == 0 or not words:
-        return cands
+        e = np.empty(0, dtype=np.int64)
+        return (cands, e.copy(), e.copy()) if with_window else cands
     L = len(words)
     M = max(int(data[w][3].max()) if data[w][3].size else 0 for w in set(words)) + L + 2
     keys = None
@@ -656,8 +664,13 @@ def _phrase_survivors(cands: np.ndarray, words: list[str], data: dict) -> np.nda
         kj = (ci * M + p - j)[p >= j]
         keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
         if keys.size == 0:
-            return np.empty(0, dtype=np.int64)
-    return cands[np.unique(keys // M)]
+            e = np.empty(0, dtype=np.int64)
+            return (e, e.copy(), e.copy()) if with_window else e
+    if not with_window:
+        return cands[np.unique(keys // M)]
+    uci, first_idx = np.unique(keys // M, return_index=True)
+    ws = keys[first_idx] % M  # keys sorted -> first key per doc = leftmost
+    return cands[uci], ws, ws + (L - 1)
 
 
 def _interval_max(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -691,7 +704,7 @@ def _interval_max(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarra
 
 def _chain_survivors(
     cands: np.ndarray, words: list[str], data: dict, max_gap: int,
-    with_slack: bool = False,
+    with_slack: bool = False, with_window: bool = False,
 ):
     """Ordered within-gap (proximity) match: the subset of candidates
     containing positions p_0 < p_1 < … < p_{L-1}, one per word in
@@ -714,9 +727,26 @@ def _chain_survivors(
     predecessor, so the per-key max is exact), then a per-doc min over
     final keys — the per-key predecessor max is a windowed range-max
     over [key−max_gap, key) (:func:`_interval_max`), so the cost is
-    independent of ``max_gap``, same as the unboosted path."""
+    independent of ``max_gap``, same as the unboosted path.
+
+    ``with_window=True`` (implies the slack DP) returns
+    ``(survivor docids, min_slack, win_start, win_end)`` where the
+    window is the LEFTMOST-minimal valid chain: among chains achieving
+    the doc's minimal span, the one with the smallest end position
+    (its start is end − span, unique) — the deterministic pick a SQL
+    oracle can reproduce with min(span) then min(end)."""
+    if with_window:
+        with_slack = True
     empty = np.empty(0, dtype=np.int64)
+
+    def _empty_ret():
+        if with_window:
+            return empty, empty.copy(), empty.copy(), empty.copy()
+        return (empty, empty.copy()) if with_slack else empty
+
     if cands.size == 0 or not words:
+        if cands.size == 0:
+            return _empty_ret()
         return (cands, empty.copy()) if with_slack else cands
     L = len(words)
     M = (
@@ -738,7 +768,7 @@ def _chain_survivors(
     starts = survivors % M if with_slack else None  # chain start = own position
     for w in words[1:]:
         if survivors.size == 0:
-            return (empty, empty.copy()) if with_slack else empty
+            return _empty_ret()
         q = keys_for(w)
         if not with_slack:
             lo = np.searchsorted(survivors, q - max_gap)
@@ -757,14 +787,22 @@ def _chain_survivors(
             keep = best >= 0
             survivors, starts = q[keep], best[keep]
     if survivors.size == 0:
-        return (empty, empty.copy()) if with_slack else empty
+        return _empty_ret()
     if not with_slack:
         return cands[np.unique(survivors // M)]
     ci = survivors // M
-    slack = (survivors % M) - starts - (L - 1)
+    end = survivors % M
+    span = end - starts
     uci, first_idx = np.unique(ci, return_index=True)
-    min_slack = np.minimum.reduceat(slack, first_idx)
-    return cands[uci], min_slack
+    min_span = np.minimum.reduceat(span, first_idx)
+    min_slack = min_span - (L - 1)
+    if not with_window:
+        return cands[uci], min_slack
+    counts = np.diff(np.concatenate([first_idx, [ci.size]]))
+    is_min = span == np.repeat(min_span, counts)
+    masked_end = np.where(is_min, end, np.iinfo(np.int64).max)
+    win_end = np.minimum.reduceat(masked_end, first_idx)
+    return cands[uci], min_slack, win_end - min_span, win_end
 
 
 def _window_survivors(
@@ -839,18 +877,34 @@ def _window_survivors(
 
 def _span_hits(
     cands: np.ndarray, words: list[str], data: dict, gap: int,
-    unordered: bool, with_slack: bool,
+    unordered: bool, with_slack: bool, with_window: bool = False,
 ):
     """(hits, slack | None) — the ONE dispatch between the three span
     filters (phrase adjacency / ordered chain / unordered window),
     shared verbatim by the distributed kernel and the local probe so
     their row-identity contract cannot drift. ``slack`` is None when
     the caller doesn't need it (no boost), else the per-hit minimal
-    extra gap (0 for adjacency by definition)."""
+    extra gap (0 for adjacency by definition).
+
+    ``with_window=True`` (ordered paths only — the unordered variant
+    raises) returns ``(hits, slack, win_start, win_end)``: the
+    LEFTMOST-minimal match window per hit (Lucene-highlighting parity;
+    see :func:`_chain_survivors`), with slack always materialized."""
     if unordered:
+        if with_window:
+            raise ValueError(
+                "match windows are implemented for the ordered span "
+                "paths (phrase / ordered slop); unordered NEAR has no "
+                "window emission yet"
+            )
         if not with_slack:
             return _window_survivors(cands, words, data, gap), None
         return _window_survivors(cands, words, data, gap, with_slack=True)
+    if with_window:
+        if gap == 1:
+            hits, ws, we = _phrase_survivors(cands, words, data, with_window=True)
+            return hits, np.zeros(hits.size, dtype=np.int64), ws, we
+        return _chain_survivors(cands, words, data, gap, with_window=True)
     if not with_slack:
         hits = (
             _phrase_survivors(cands, words, data)
@@ -882,6 +936,7 @@ def search_index_phrase(
     distributed_idf: bool | None = None,
     proximity_boost: float = 0.0,
     unordered: bool = False,
+    emit_windows: bool = False,
 ) -> DataFrame:
     """Index-only phrase retrieval: (qid, rank, docid, score) for
     phrase queries, verified from the POSITIONS stream — the stored
@@ -951,7 +1006,16 @@ def search_index_phrase(
     carry its own ``"unordered"`` key, so one batch can mix phrase,
     ordered-slop, and unordered-window retrieval; with
     ``proximity_boost`` the slack is min_span − (L−1), the same
-    formula as the ordered path."""
+    formula as the ordered path.
+
+    ``emit_windows=True`` (ordered paths only) appends two columns —
+    ``win_start``, ``win_end``, 0-based token offsets of each hit's
+    LEFTMOST-minimal match window (among chains achieving the doc's
+    minimal span, the smallest end position; start = end − span) —
+    the Lucene-highlighting primitive: join docids back to stored
+    text and slice tokens [win_start, win_end] to render snippets.
+    Ranking and hit set are unchanged; the tie-break is deterministic
+    so a SQL oracle reproduces the offsets exactly."""
     spark = reader.spark
     if not reader.stats.get("has_positions"):
         raise ValueError(
@@ -968,6 +1032,11 @@ def search_index_phrase(
         )
         for q in queries
     ]
+    if emit_windows and any(uo for *_, uo in tokenized):
+        raise ValueError(
+            "emit_windows covers the ordered span paths; unordered "
+            "NEAR window emission is not implemented"
+        )
     terms = sorted({t for _, _, ws, _, _ in tokenized for t in ws})
     if distributed_idf is None:
         distributed_idf = len(terms) > int(os.environ.get("SSSE_IDF_COLLECT_MAX", "100000"))
@@ -1008,10 +1077,10 @@ def search_index_phrase(
             idf_map = {
                 t: float(v) for t, v in zip(pdf["term"].to_numpy(), pdf["idf"].to_numpy())
             }
-        empty = pd.DataFrame(
-            {c: pd.Series(dtype=t) for c, t in
-             [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]}
-        )
+        out_cols = [("qid", "int32"), ("k", "int32"), ("docid", "int64"), ("score", "float64")]
+        if emit_windows:
+            out_cols += [("win_start", "int64"), ("win_end", "int64")]
+        empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols})
         if len(pdf) == 0:
             return empty
         # blocks grouped per term, NOT decoded yet — decode is driven
@@ -1081,6 +1150,7 @@ def search_index_phrase(
         # overhead, which at (10³ queries × n_groups) was a measured
         # ~20% of the whole mega-batch (the wand_shard_vec discipline)
         out_qid, out_k, out_docid, out_score = [], [], [], []
+        out_ws, out_we = [], []
         for qid, k, words, gap, uo in known_plan:
             qterms = sorted(set(words))
             if any(t not in by_term for t in qterms):
@@ -1113,9 +1183,17 @@ def search_index_phrase(
                 cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 continue
-            hits, slack = _span_hits(
-                cands, words, data, gap, uo, proximity_boost != 0.0
-            )
+            if emit_windows:
+                hits, slack, ws, we = _span_hits(
+                    cands, words, data, gap, uo, True, with_window=True
+                )
+                if proximity_boost == 0.0:
+                    slack = None  # boost off ignores slack (exact identity)
+            else:
+                ws = we = None
+                hits, slack = _span_hits(
+                    cands, words, data, gap, uo, proximity_boost != 0.0
+                )
             if hits.size == 0:
                 continue
             per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
@@ -1127,6 +1205,8 @@ def search_index_phrase(
                 kth = np.partition(scores, scores.size - k)[scores.size - k]
                 sel = np.flatnonzero(scores >= kth)
                 hits, scores = hits[sel], scores[sel]
+                if ws is not None:
+                    ws, we = ws[sel], we[sel]
             order = np.lexsort((hits, -scores))
             if not keep_boundary_ties:
                 order = order[:k]
@@ -1134,26 +1214,41 @@ def search_index_phrase(
             out_k.append(np.full(order.size, k, dtype=np.int32))
             out_docid.append(hits[order])
             out_score.append(scores[order])
+            if ws is not None:
+                out_ws.append(ws[order])
+                out_we.append(we[order])
         if not out_qid:
             return empty
-        return pd.DataFrame(
-            {
-                "qid": np.concatenate(out_qid),
-                "k": np.concatenate(out_k),
-                "docid": np.concatenate(out_docid),
-                "score": np.concatenate(out_score),
-            }
-        )
+        out = {
+            "qid": np.concatenate(out_qid),
+            "k": np.concatenate(out_k),
+            "docid": np.concatenate(out_docid),
+            "score": np.concatenate(out_score),
+        }
+        if emit_windows:
+            out["win_start"] = np.concatenate(out_ws)
+            out["win_end"] = np.concatenate(out_we)
+        return pd.DataFrame(out)
 
-    local = blocks.groupBy("_qgroup").applyInPandas(phrase_shard, RESULT_SCHEMA)
+    schema = (
+        RESULT_SCHEMA + ", win_start long, win_end long"
+        if emit_windows else RESULT_SCHEMA
+    )
+    extra = ["win_start", "win_end"] if emit_windows else []
+    local = blocks.groupBy("_qgroup").applyInPandas(phrase_shard, schema)
     if keep_boundary_ties:
         w = Window.partitionBy("qid").orderBy(F.desc("score"))
         return (
             local.withColumn("rank", F.rank().over(w))
             .filter(F.col("rank") <= F.col("k"))
-            .select("qid", "rank", "docid", "score")
+            .select("qid", "rank", "docid", "score", *extra)
         )
-    return _topk_window(local)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("qid", "rank", "docid", "score", *extra)
+    )
 
 
 class LocalIndexProbe:
@@ -1316,14 +1411,22 @@ class LocalIndexProbe:
     def search_phrase(
         self, phrase: str, k: int = 10, max_gap: int = 1,
         proximity_boost: float = 0.0, unordered: bool = False,
-    ) -> list[tuple[int, int, float]]:
+        return_window: bool = False,
+    ) -> list[tuple]:
         """[(rank, docid, score)] — phrase (adjacency-exact, ordered
         proximity with ``max_gap`` > 1, or unordered NEAR-window with
         ``unordered=True``) top-k from the positions stream, identical
         rows to ``search_index_phrase`` for this (phrase, k, max_gap,
         proximity_boost, unordered). Needs a ``store_positions=True``
         index. ``proximity_boost`` has the distributed path's
-        semantics (BM25 + boost · Σidf/(1+min_slack), default OFF)."""
+        semantics (BM25 + boost · Σidf/(1+min_slack), default OFF).
+
+        ``return_window=True`` (ordered paths only) appends the
+        leftmost-minimal match window: [(rank, docid, score,
+        win_start, win_end)] with 0-based token offsets — the
+        Lucene-highlighting primitive (slice the doc's tokens at
+        [win_start, win_end] to render the snippet). Ranking is
+        unchanged."""
         if not self.has_positions:
             raise ValueError(
                 "LocalIndexProbe.search_phrase needs a positions-enabled "
@@ -1343,9 +1446,17 @@ class LocalIndexProbe:
             cands = np.intersect1d(cands, data[t][0], assume_unique=True)
             if cands.size == 0:
                 return []
-        hits, slack = _span_hits(
-            cands, words, data, max_gap, unordered, proximity_boost != 0.0
-        )
+        if return_window:
+            hits, slack, ws, we = _span_hits(
+                cands, words, data, max_gap, unordered, True, with_window=True
+            )
+            if proximity_boost == 0.0:
+                slack = None  # exact-identity path: boost off ignores slack
+        else:
+            ws = we = None
+            hits, slack = _span_hits(
+                cands, words, data, max_gap, unordered, proximity_boost != 0.0
+            )
         if hits.size == 0:
             return []
         per_term = {t: (data[t][0], data[t][1], data[t][2]) for t in qterms}
@@ -1357,5 +1468,12 @@ class LocalIndexProbe:
             kth = np.partition(scores, scores.size - k)[scores.size - k]
             sel = np.flatnonzero(scores >= kth)
             hits, scores = hits[sel], scores[sel]
+            if ws is not None:
+                ws, we = ws[sel], we[sel]
         order = np.lexsort((hits, -scores))[:k]
+        if ws is not None:
+            return [
+                (r + 1, int(hits[i]), float(scores[i]), int(ws[i]), int(we[i]))
+                for r, i in enumerate(order)
+            ]
         return [(r + 1, int(hits[i]), float(scores[i])) for r, i in enumerate(order)]

@@ -1129,3 +1129,100 @@ def test_stratified_sample_semantics(spark):
         stratified_sample(docs, {"s0": 0.5}, default_rate=-0.1)
     plan = audit.physical_plan(stratified_sample(docs, rates, default_rate=0.25))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ------------------------------------------------- match-window highlighting
+
+def test_span_windows_fuzz():
+    """with_window must return the LEFTMOST-minimal valid window —
+    min span, then min end, start = end − span — exactly matching
+    brute-force chain enumeration, for both the adjacency fast path
+    and the ordered chain DP, across random corpora."""
+    from itertools import product
+
+    from semantic_search_engine_spark.operators.query import (
+        _chain_survivors, _phrase_survivors,
+    )
+
+    rng = np.random.default_rng(20260821)
+    for trial in range(40):
+        L = int(rng.integers(2, 4))
+        max_gap = int(rng.integers(1, 6))
+        words = [f"w{j}" for j in range(L)]
+        n_docs = int(rng.integers(1, 6))
+        docids = np.sort(rng.choice(1000, size=n_docs, replace=False)).astype(np.int64)
+        pos_by = {w: {} for w in words}
+        for d in docids:
+            for w in words:
+                cnt = int(rng.integers(1, 5))
+                pos_by[w][int(d)] = np.sort(
+                    rng.choice(40, size=cnt, replace=False)
+                ).astype(np.int64)
+        data = {}
+        for w in words:
+            tfs = np.array([len(pos_by[w][int(d)]) for d in docids], dtype=np.int64)
+            pos = np.concatenate([pos_by[w][int(d)] for d in docids])
+            rs = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+            data[w] = (docids, tfs, np.full(n_docs, 50, dtype=np.int64), pos, rs)
+
+        def brute(d):
+            best = None  # (span, end)
+            for chain in product(*[pos_by[w][int(d)] for w in words]):
+                if all(1 <= chain[j + 1] - chain[j] <= max_gap for j in range(L - 1)):
+                    cand = (int(chain[-1] - chain[0]), int(chain[-1]))
+                    best = cand if best is None else min(best, cand)
+            return best
+
+        want = {int(d): brute(d) for d in docids}
+        want_hits = sorted(d for d, b in want.items() if b is not None)
+        if max_gap == 1:
+            hits, ws, we = _phrase_survivors(docids, words, data, with_window=True)
+        else:
+            hits, _, ws, we = _chain_survivors(
+                docids, words, data, max_gap, with_window=True
+            )
+        assert hits.tolist() == want_hits, trial
+        for d, s, e in zip(hits, ws, we):
+            span, end = want[int(d)]
+            assert (int(e) - int(s), int(e)) == (span, end), (trial, d)
+
+
+def test_emit_windows_end_to_end(spark, tmp_path):
+    """Distributed emit_windows must equal the probe's return_window
+    rows exactly (docid, score, offsets), refuse the unordered path,
+    and leave the plain schema untouched."""
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader, LocalIndexProbe, search_index_phrase,
+    )
+
+    d = str(tmp_path / "widx")
+    build_index(generate_webtext(spark, 800), d, num_shards=3, store_positions=True)
+    reader = IndexReader(spark, d)
+    probe = LocalIndexProbe(d)
+    for phrase, gap in (("bababa cecece", 1), ("bababa cecece", 3)):
+        res = search_index_phrase(
+            reader, [{"qid": 0, "query": phrase, "k": 10, "gap": gap}],
+            emit_windows=True,
+        ).collect()
+        assert res, (phrase, gap)
+        dist = sorted(
+            (r["docid"], r["score"], r["win_start"], r["win_end"]) for r in res
+        )
+        loc = sorted(
+            (docid, s, a, b)
+            for _, docid, s, a, b in probe.search_phrase(
+                phrase, k=10, max_gap=gap, return_window=True
+            )
+        )
+        assert dist == loc, (phrase, gap)
+        # window sanity: span within the gap budget for L=2
+        for _, _, a, b in dist:
+            assert 1 <= b - a <= gap
+    with pytest.raises(ValueError):
+        search_index_phrase(
+            reader, [{"qid": 0, "query": "bababa cecece", "k": 5}],
+            unordered=True, emit_windows=True,
+        )
+    plain = search_index_phrase(reader, [{"qid": 0, "query": "bababa cecece", "k": 5}])
+    assert plain.columns == ["qid", "rank", "docid", "score"]
