@@ -466,6 +466,23 @@ def q_bm25_near_windows_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_near_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR top-k rendered to SNIPPET TEXT: the windows entry's
+    hits joined back to the corpus, pinned-tokenizer re-tokenize, and
+    a clamped [win_start−2, win_end+2] token slice — Lucene-style
+    highlighting end to end, all column exprs, hits broadcast so the
+    corpus scans once (operators/query.py:render_snippets). The oracle
+    re-derives windows AND slices the same token stream in DuckDB, so
+    the snippet STRINGS are hash-compared."""
+    from semantic_search_engine_spark.operators.query import render_snippets
+
+    hits = q_bm25_near_windows_topk(spark, sf_dir)
+    return render_snippets(hits, _docs(spark, sf_dir), pad=SNIPPET_PAD)
+
+
+SNIPPET_PAD = 2
+
+
 NEAR_SPAN = 4  # unordered window span (33 matching docs at sf0.01)
 
 
@@ -1564,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_indexed_topk": q_bm25_phrase_indexed_topk,
         "bm25_near_topk": q_bm25_near_topk,
         "bm25_near_windows_topk": q_bm25_near_windows_topk,
+        "bm25_near_snippets": q_bm25_near_snippets,
         "bm25_near_boosted_topk": q_bm25_near_boosted_topk,
         "bm25_near_unordered_topk": q_bm25_near_unordered_topk,
         "bm25_incremental_topk": q_bm25_incremental_topk,
@@ -1766,6 +1784,18 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "bm25_phrase_indexed_topk": _bm25_phrase_oracle(BM25_K),
         "bm25_near_topk": _bm25_near_oracle(BM25_K),
         "bm25_near_windows_topk": _bm25_near_windows_oracle(BM25_K),
+        "bm25_near_snippets": f"""
+WITH win AS ({_bm25_near_windows_oracle(BM25_K)}),
+t AS (SELECT doc_id, {tok} AS ts FROM documents)
+SELECT win.*,
+       array_to_string(
+         list_slice(
+           t.ts,
+           greatest(win.win_start - {SNIPPET_PAD}, 0) + 1,
+           least(win.win_end + {SNIPPET_PAD}, len(t.ts) - 1) + 1
+         ), ' ') AS snippet
+FROM win JOIN t USING (doc_id)
+""",
         "bm25_near_boosted_topk": _bm25_near_boosted_oracle(BM25_K),
         "bm25_near_unordered_topk": _bm25_near_unordered_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),

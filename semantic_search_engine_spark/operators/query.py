@@ -1477,3 +1477,36 @@ class LocalIndexProbe:
                 for r, i in enumerate(order)
             ]
         return [(r + 1, int(hits[i]), float(scores[i])) for r, i in enumerate(order)]
+
+
+def render_snippets(
+    hits: DataFrame,
+    docs: DataFrame,
+    pad: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Window offsets → snippet TEXT: join window-bearing hits (the
+    ``emit_windows=True`` output mapped to external ids) back to the
+    stored corpus, re-tokenize JVM-side with the pinned tokenizer, and
+    slice tokens ``[win_start − pad, win_end + pad]`` (clamped) into a
+    space-joined snippet — the last step of Lucene-style highlighting,
+    as pure column expressions (no UDF, no Python).
+
+    100-TB shape: hits are k rows per query — broadcast them and scan
+    the corpus ONCE with the join pushed down; the corpus side never
+    shuffles. Offsets index the pinned tokenizer's stream, so the
+    snippet provably contains the match (oracle-checked end to end)."""
+    from ..functions.tokenizer import tokens_col
+
+    if pad < 0:
+        raise ValueError(f"pad must be >= 0, got {pad}")
+    ts = tokens_col(F.col(text_col))
+    start = F.greatest(F.col("win_start") - pad, F.lit(0))
+    end = F.least(F.col("win_end") + pad, F.size(ts) - 1)
+    snippet = F.concat_ws(" ", F.slice(ts, start + 1, end - start + 1))
+    return (
+        docs.select(id_col, text_col)
+        .join(F.broadcast(hits), id_col)
+        .select(*[c for c in hits.columns], snippet.alias("snippet"))
+    )

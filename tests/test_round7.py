@@ -1226,3 +1226,42 @@ def test_emit_windows_end_to_end(spark, tmp_path):
         )
     plain = search_index_phrase(reader, [{"qid": 0, "query": "bababa cecece", "k": 5}])
     assert plain.columns == ["qid", "rank", "docid", "score"]
+
+
+def test_render_snippets_semantics(spark):
+    """render_snippets must slice exactly [win_start−pad, win_end+pad]
+    of the pinned token stream (clamped at doc edges), keep every hit
+    row, contain the matched phrase at pad=0, and refuse pad<0."""
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.query import render_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two alpha beta five six seven"),
+            (1, "alpha beta tail words here"),          # window at doc start
+            (2, "lead words here alpha beta"),          # window at doc end
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1, 1.0, 2, 3), (1, 2, 0.9, 0, 1), (2, 3, 0.8, 3, 4)],
+        "doc_id long, rank int, score double, win_start long, win_end long",
+    )
+    for pad in (0, 2):
+        got = {
+            int(r["doc_id"]): r["snippet"]
+            for r in render_snippets(hits, docs, pad=pad).collect()
+        }
+        assert len(got) == 3
+        for did, text in [(0, docs.collect()[0]["text"])]:
+            pass
+        texts = {int(r["doc_id"]): r["text"] for r in docs.collect()}
+        wins = {0: (2, 3), 1: (0, 1), 2: (3, 4)}
+        for did, (a, b) in wins.items():
+            toks = tokenize(texts[did])
+            lo = max(a - pad, 0)
+            hi = min(b + pad, len(toks) - 1)
+            assert got[did] == " ".join(toks[lo : hi + 1]), (did, pad)
+            assert "alpha beta" in got[did]  # the match survives any pad
+    with pytest.raises(ValueError):
+        render_snippets(hits, docs, pad=-1)
