@@ -542,6 +542,87 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 """
 
 
+def q_bm25_near_unordered_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unordered NEAR top-k WITH its covering windows: each hit
+    carries the leftmost-minimal covering window (min span, then min
+    start — every minimal window's leftmost element is an anchor, so
+    the sweep's anchor set contains it). The oracle re-derives the
+    windows through the anchor × next-occurrence join and picks
+    min(span) → min(start) independently; ranks, scores, AND offsets
+    hash-compared."""
+    from semantic_search_engine_spark.operators.query import IndexReader, search_index_phrase
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    d = _pos_index(spark, sf_dir)
+    res = search_index_phrase(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": NEAR_QUERY, "k": BM25_K}],
+        keep_boundary_ties=True,
+        max_gap=NEAR_SPAN,
+        unordered=True,
+        emit_windows=True,
+    )
+    docmap = read_docmap(spark, d).select("docid", F.col("url").alias("doc_id"))
+    return (
+        res.join(docmap, "docid")
+        .withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= BM25_K)
+        .select(
+            "doc_id", "rank", F.round("score", 6).alias("score"),
+            "win_start", "win_end",
+        )
+    )
+
+
+def _bm25_near_unordered_windows_oracle(k: int) -> str:
+    """bm25_near_unordered_topk's ranking + the leftmost-minimal
+    covering window: per doc min(span) over full-cover anchors, then
+    min(anchor); −1 maps generate_subscripts' 1-based positions to the
+    engine's 0-based token offsets."""
+    words = sorted(set(NEAR_QUERY.split()))
+    terms = ", ".join(f"'{t}'" for t in words)
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+tp AS (SELECT doc_id, unnest({tok}) AS term, generate_subscripts({tok}, 1) AS pos FROM documents),
+qp AS (SELECT doc_id, pos, term FROM tp WHERE term IN ({terms})),
+nxt AS (
+  SELECT an.doc_id, an.pos AS a, q2.term, min(q2.pos) AS np
+  FROM (SELECT doc_id, pos FROM qp) an
+  JOIN qp q2 ON q2.doc_id = an.doc_id AND q2.pos >= an.pos
+  GROUP BY 1, 2, 3
+),
+cov AS (SELECT doc_id, a, max(np) - a AS span, count(*) AS nt FROM nxt GROUP BY 1, 2),
+fullc AS (SELECT doc_id, a, span FROM cov WHERE nt = {len(words)}),
+wm AS (SELECT doc_id, min(span) AS span FROM fullc GROUP BY 1 HAVING min(span) <= {NEAR_SPAN}),
+pick AS (
+  SELECT f.doc_id, min(f.a) AS wa
+  FROM fullc f JOIN wm ON f.doc_id = wm.doc_id AND f.span = wm.span
+  GROUP BY 1
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+       JOIN wm ON tf.doc_id = wm.doc_id CROSS JOIN st
+  GROUP BY 1
+  HAVING count(DISTINCT tf.term) = (SELECT count(DISTINCT term) FROM q)
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT rk.doc_id, rk.rank::INT AS rank, round(rk.score, 6) AS score,
+       (pick.wa - 1)::BIGINT AS win_start,
+       (pick.wa - 1 + wm.span)::BIGINT AS win_end
+FROM rk JOIN wm USING (doc_id) JOIN pick USING (doc_id)
+WHERE rk.rank <= {k}
+"""
+
+
 NEAR_BOOST = 0.5
 
 
@@ -1584,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_snippets": q_bm25_near_snippets,
         "bm25_near_boosted_topk": q_bm25_near_boosted_topk,
         "bm25_near_unordered_topk": q_bm25_near_unordered_topk,
+        "bm25_near_unordered_windows": q_bm25_near_unordered_windows,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "bm25_compacted_topk": q_bm25_compacted_topk,
         "bm25_snapshot_topk": q_bm25_snapshot_topk,
@@ -1798,6 +1880,7 @@ FROM win JOIN t USING (doc_id)
 """,
         "bm25_near_boosted_topk": _bm25_near_boosted_oracle(BM25_K),
         "bm25_near_unordered_topk": _bm25_near_unordered_oracle(BM25_K),
+        "bm25_near_unordered_windows": _bm25_near_unordered_windows_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "bm25_compacted_topk": _bm25_oracle(BM25_K),
         "bm25_snapshot_topk": _bm25_oracle(BM25_K),

@@ -807,7 +807,7 @@ def _chain_survivors(
 
 def _window_survivors(
     cands: np.ndarray, words: list[str], data: dict, max_span: int,
-    with_slack: bool = False,
+    with_slack: bool = False, with_window: bool = False,
 ):
     """Unordered within-window (NEAR/W) match: the subset of candidates
     containing ALL distinct query words inside some token window of
@@ -830,11 +830,30 @@ def _window_survivors(
     ``with_slack=True`` additionally returns min_span − (L−1) per
     surviving doc (0 iff some window packs the L distinct words into
     L consecutive tokens) — the unordered analog of the chain filter's
-    slack, feeding the same proximity-boost formula."""
+    slack, feeding the same proximity-boost formula.
+
+    ``with_window=True`` (implies slack) returns ``(hits, slack,
+    win_start, win_end)``, the LEFTMOST-minimal covering window: the
+    smallest anchor among those achieving the doc's minimal span
+    (every minimal window's leftmost element is an anchor, so the
+    anchor set contains every minimal window start — the pick is
+    min(span) then min(start), the same deterministic rule a SQL
+    oracle reproduces; with equal spans min start ≡ min end, so the
+    tie-break family matches the ordered path's)."""
+    if with_window:
+        with_slack = True
     uw = sorted(set(words))
     L = len(uw)
     empty = np.empty(0, dtype=np.int64)
+
+    def _empty_ret():
+        if with_window:
+            return empty, empty.copy(), empty.copy(), empty.copy()
+        return (empty, empty.copy()) if with_slack else empty
+
     if cands.size == 0 or not uw:
+        if cands.size == 0:
+            return _empty_ret()
         return (cands, empty.copy()) if with_slack else cands
     M = (
         max(int(data[w][3].max()) if data[w][3].size else 0 for w in uw)
@@ -863,7 +882,7 @@ def _window_survivors(
         end = np.maximum(end, np.where(ok, nxt, anchors))
     va = anchors[valid]
     if va.size == 0:
-        return (empty, empty.copy()) if with_slack else empty
+        return _empty_ret()
     spans = end[valid] - va  # same-doc guaranteed, so plain difference
     ci = va // M
     uci, first = np.unique(ci, return_index=True)
@@ -872,7 +891,14 @@ def _window_survivors(
     hits = cands[uci[sel]]
     if not with_slack:
         return hits
-    return hits, (min_span[sel] - (L - 1)).astype(np.int64)
+    slack = (min_span[sel] - (L - 1)).astype(np.int64)
+    if not with_window:
+        return hits, slack
+    counts = np.diff(np.concatenate([first, [ci.size]]))
+    is_min = spans == np.repeat(min_span, counts)
+    masked_start = np.where(is_min, va % M, np.iinfo(np.int64).max)
+    ws = np.minimum.reduceat(masked_start, first)[sel]
+    return hits, slack, ws, ws + min_span[sel]
 
 
 def _span_hits(
@@ -886,17 +912,14 @@ def _span_hits(
     the caller doesn't need it (no boost), else the per-hit minimal
     extra gap (0 for adjacency by definition).
 
-    ``with_window=True`` (ordered paths only — the unordered variant
-    raises) returns ``(hits, slack, win_start, win_end)``: the
-    LEFTMOST-minimal match window per hit (Lucene-highlighting parity;
-    see :func:`_chain_survivors`), with slack always materialized."""
+    ``with_window=True`` returns ``(hits, slack, win_start,
+    win_end)``: the LEFTMOST-minimal match window per hit across ALL
+    THREE span filters (Lucene-highlighting parity; see
+    :func:`_chain_survivors` / :func:`_window_survivors`), with slack
+    always materialized."""
     if unordered:
         if with_window:
-            raise ValueError(
-                "match windows are implemented for the ordered span "
-                "paths (phrase / ordered slop); unordered NEAR has no "
-                "window emission yet"
-            )
+            return _window_survivors(cands, words, data, gap, with_window=True)
         if not with_slack:
             return _window_survivors(cands, words, data, gap), None
         return _window_survivors(cands, words, data, gap, with_slack=True)
@@ -1008,12 +1031,14 @@ def search_index_phrase(
     ``proximity_boost`` the slack is min_span − (L−1), the same
     formula as the ordered path.
 
-    ``emit_windows=True`` (ordered paths only) appends two columns —
+    ``emit_windows=True`` appends two columns —
     ``win_start``, ``win_end``, 0-based token offsets of each hit's
     LEFTMOST-minimal match window (among chains achieving the doc's
-    minimal span, the smallest end position; start = end − span) —
-    the Lucene-highlighting primitive: join docids back to stored
-    text and slice tokens [win_start, win_end] to render snippets.
+    minimal span, the smallest end position; start = end − span;
+    for unordered windows the smallest start, the same rule since
+    equal spans make min start ≡ min end) — the Lucene-highlighting
+    primitive: join docids back to stored text and slice tokens
+    [win_start, win_end] to render snippets.
     Ranking and hit set are unchanged; the tie-break is deterministic
     so a SQL oracle reproduces the offsets exactly."""
     spark = reader.spark
@@ -1032,11 +1057,6 @@ def search_index_phrase(
         )
         for q in queries
     ]
-    if emit_windows and any(uo for *_, uo in tokenized):
-        raise ValueError(
-            "emit_windows covers the ordered span paths; unordered "
-            "NEAR window emission is not implemented"
-        )
     terms = sorted({t for _, _, ws, _, _ in tokenized for t in ws})
     if distributed_idf is None:
         distributed_idf = len(terms) > int(os.environ.get("SSSE_IDF_COLLECT_MAX", "100000"))
@@ -1421,7 +1441,7 @@ class LocalIndexProbe:
         index. ``proximity_boost`` has the distributed path's
         semantics (BM25 + boost · Σidf/(1+min_slack), default OFF).
 
-        ``return_window=True`` (ordered paths only) appends the
+        ``return_window=True`` appends the
         leftmost-minimal match window: [(rank, docid, score,
         win_start, win_end)] with 0-based token offsets — the
         Lucene-highlighting primitive (slice the doc's tokens at

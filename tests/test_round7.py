@@ -1186,6 +1186,29 @@ def test_span_windows_fuzz():
             span, end = want[int(d)]
             assert (int(e) - int(s), int(e)) == (span, end), (trial, d)
 
+        # unordered: brute = min span over one-occurrence-per-word sets
+        # (any order), then min start among minimal sets
+        def brute_uo(d):
+            best = None  # (span, start)
+            for sel_ in product(*[pos_by[w][int(d)] for w in words]):
+                span = int(max(sel_) - min(sel_))
+                if span <= max_gap:
+                    cand = (span, int(min(sel_)))
+                    best = cand if best is None else min(best, cand)
+            return best
+
+        from semantic_search_engine_spark.operators.query import _window_survivors
+
+        want_uo = {int(d): brute_uo(d) for d in docids}
+        uo_hits = sorted(d for d, b in want_uo.items() if b is not None)
+        hits, _, ws, we = _window_survivors(
+            docids, words, data, max_gap, with_window=True
+        )
+        assert hits.tolist() == uo_hits, trial
+        for d, s, e in zip(hits, ws, we):
+            span, start = want_uo[int(d)]
+            assert (int(e) - int(s), int(s)) == (span, start), (trial, d)
+
 
 def test_emit_windows_end_to_end(spark, tmp_path):
     """Distributed emit_windows must equal the probe's return_window
@@ -1219,11 +1242,22 @@ def test_emit_windows_end_to_end(spark, tmp_path):
         # window sanity: span within the gap budget for L=2
         for _, _, a, b in dist:
             assert 1 <= b - a <= gap
-    with pytest.raises(ValueError):
-        search_index_phrase(
-            reader, [{"qid": 0, "query": "bababa cecece", "k": 5}],
-            unordered=True, emit_windows=True,
+    # unordered NEAR emits windows too, identical across serving paths
+    res = search_index_phrase(
+        reader, [{"qid": 0, "query": "bababa cecece", "k": 10, "gap": 4}],
+        unordered=True, emit_windows=True,
+    ).collect()
+    assert res
+    dist = sorted((r["docid"], r["score"], r["win_start"], r["win_end"]) for r in res)
+    loc = sorted(
+        (docid, s, a, b)
+        for _, docid, s, a, b in probe.search_phrase(
+            "bababa cecece", k=10, max_gap=4, unordered=True, return_window=True
         )
+    )
+    assert dist == loc
+    for _, _, a, b in dist:
+        assert 1 <= b - a <= 4  # covering-window span within budget
     plain = search_index_phrase(reader, [{"qid": 0, "query": "bababa cecece", "k": 5}])
     assert plain.columns == ["qid", "rank", "docid", "score"]
 
