@@ -1082,21 +1082,31 @@ def _docs_with_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IBAN_STEP_VAR, IBAN_STEP_VALID, IBAN_STEP_INVALID = 5, 6, 9
+# registry-discriminating probes: checksum-VALID strings the registry
+# must still reject (wrong length for DE; unregistered country ZZ)
+IBAN_STEP_SHORTLEN, IBAN_STEP_UNKCC = 7, 11
+IBAN_SHORT_DE = "DE291234567890123456"       # mod-97 ok, len 20 != DE's 22
+IBAN_UNKNOWN_CC = "ZZ73123456789012345678"   # mod-97 ok, country unregistered
 
 
-def _docs_with_ibans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_ibans(
+    spark: SparkSession, sf_dir: str, registry_probes: bool = False
+) -> DataFrame:
     """IBAN-bearing view: a doc_id-parametrized account run (residue 5
     — mod-97 validity DATA-driven, ~1/97 of them land valid), a known
     valid German IBAN (residue 6), and a known-invalid off-by-one
     (residue 9). The corpus text is lowercase, so the uppercase
     candidate pattern can never bite base text — every candidate is an
-    injected one, deterministic in both engines."""
+    injected one, deterministic in both engines. ``registry_probes``
+    appends two checksum-VALID strings the length registry must still
+    reject (a 20-char DE and an unregistered ZZ country) — the rows
+    that make the registry entry's hash differ from plain mod-97."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     i = F.col("doc_id")
     var = F.concat(
         F.lit(" acct GB00TEST"), F.lpad((i % 100_000_000).cast("string"), 8, "0")
     )
-    t = F.concat(
+    parts = [
         F.col("text"),
         F.when(i % IBAN_STEP_VAR == 0, var).otherwise(F.lit("")),
         F.when(
@@ -1105,8 +1115,19 @@ def _docs_with_ibans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             i % IBAN_STEP_INVALID == 0, F.lit(" ref GB82WEST12345698765433")
         ).otherwise(F.lit("")),
-    )
-    return docs.select("doc_id", t.alias("text"))
+    ]
+    if registry_probes:
+        parts.append(
+            F.when(
+                i % IBAN_STEP_SHORTLEN == 0, F.lit(" pay " + IBAN_SHORT_DE)
+            ).otherwise(F.lit(""))
+        )
+        parts.append(
+            F.when(
+                i % IBAN_STEP_UNKCC == 0, F.lit(" wire " + IBAN_UNKNOWN_CC)
+            ).otherwise(F.lit(""))
+        )
+    return docs.select("doc_id", F.concat(*parts).alias("text"))
 
 
 def q_pii_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,6 +1138,19 @@ def q_pii_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py:iban_stats). The oracle refolds the
     remainder independently with DuckDB list_reduce."""
     return textstats.iban_stats(_docs_with_ibans(spark, sf_dir))
+
+
+def q_pii_iban_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-validated IBAN masking: mod-97 AND the ISO 13616
+    per-country length (textstats.IBAN_LENGTHS; unknown country
+    rejected). The view injects two checksum-valid probes the registry
+    must reject — a 20-char DE and an unregistered ZZ — so this
+    entry's hash provably separates registry from plain checksum
+    validation. The oracle rebuilds the length lookup as a CASE over
+    the SAME dict (textstats.iban_registry_length_sql)."""
+    return textstats.iban_stats(
+        _docs_with_ibans(spark, sf_dir, registry_probes=True), registry=True
+    )
 
 
 def q_pii_cc_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats_v2": q_pii_stats_v2,
         "pii_cc_luhn": q_pii_cc_luhn,
         "pii_iban": q_pii_iban,
+        "pii_iban_registry": q_pii_iban_registry,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "corpus_filter_funnel_v2": q_corpus_filter_funnel_v2,
         "corpus_filter_funnel_v3": q_corpus_filter_funnel_v3,
@@ -2152,6 +2187,53 @@ v AS (
              (acc, a) -> ((acc * (CASE WHEN a <= 57 THEN 10 ELSE 100 END))
                           + (CASE WHEN a <= 57 THEN a - 48 ELSE a - 55 END)) % 97
            ) = 1
+         )) AS valid
+  FROM per
+)
+SELECT doc_id,
+       len(cands)::BIGINT AS n_iban_candidates,
+       len(list_filter(valid, x -> x))::BIGINT AS n_iban_valid,
+       CASE WHEN len(cands) = 0 THEN t
+            ELSE segs[1] || array_to_string(
+                   list_transform(range(1, len(cands) + 1), i ->
+                     (CASE WHEN valid[i] THEN '<IBAN>' ELSE cands[i] END) || segs[i + 1]),
+                   '')
+       END AS redacted
+FROM v
+""",
+        "pii_iban_registry": f"""
+WITH pv AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % {IBAN_STEP_VAR} = 0
+         THEN ' acct GB00TEST' || lpad((doc_id % 100000000)::VARCHAR, 8, '0')
+         ELSE '' END ||
+    CASE WHEN doc_id % {IBAN_STEP_VALID} = 0
+         THEN ' iban DE89370400440532013000' ELSE '' END ||
+    CASE WHEN doc_id % {IBAN_STEP_INVALID} = 0
+         THEN ' ref GB82WEST12345698765433' ELSE '' END ||
+    CASE WHEN doc_id % {IBAN_STEP_SHORTLEN} = 0
+         THEN ' pay {IBAN_SHORT_DE}' ELSE '' END ||
+    CASE WHEN doc_id % {IBAN_STEP_UNKCC} = 0
+         THEN ' wire {IBAN_UNKNOWN_CC}' ELSE '' END AS t
+  FROM documents
+),
+per AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, '{textstats.IBAN_CANDIDATE_PATTERN}') AS cands,
+         regexp_split_to_array(t, '{textstats.IBAN_CANDIDATE_PATTERN}') AS segs
+  FROM pv
+),
+v AS (
+  SELECT doc_id, t, cands, segs,
+         list_transform(cands, c -> (
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(
+               range(1, length(substring(c, 5) || substring(c, 1, 4)) + 1),
+               i -> ascii(substring(substring(c, 5) || substring(c, 1, 4), i::INT, 1))::BIGINT)),
+             (acc, a) -> ((acc * (CASE WHEN a <= 57 THEN 10 ELSE 100 END))
+                          + (CASE WHEN a <= 57 THEN a - 48 ELSE a - 55 END)) % 97
+           ) = 1
+           AND length(c) = {textstats.iban_registry_length_sql("c")}
          )) AS valid
   FROM per
 )

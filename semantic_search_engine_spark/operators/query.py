@@ -118,17 +118,39 @@ def _empty_result(spark: SparkSession) -> DataFrame:
 
 
 def search_index_exhaustive(reader: IndexReader, queries: list[dict]) -> DataFrame:
-    """(qid, rank, docid, score) via full decode of matching terms."""
+    """(qid, rank, docid, score) via full decode of matching terms.
+
+    A query dict may carry ``"exclude"`` — the same Lucene MUST_NOT
+    contract as ``search_index_wand``: exclusion terms' postings ride
+    the same scan (flagged ``excl``), their decoded (qid, docid) pairs
+    anti-join the scored candidates BEFORE top-k, and they are never
+    scored. An OOV exclude term excludes nothing. Without excludes the
+    plan is the original two-stage scan→agg (no anti-join stage)."""
     spark = reader.spark
     plan, terms = _query_plan(queries)
     idf_map = reader.idf_map(terms)
     if not idf_map:
         return _empty_result(spark)
     avgdl = float(reader.stats["avgdl"])
-    qrows = [(qid, k, t) for qid, k, ts in plan for t in ts if t in idf_map]
-    qdf = spark.createDataFrame(qrows, "qid int, k int, term string")
+    xmap = {
+        int(q["qid"]): sorted(set(tokenize(q.get("exclude", ""))))
+        for q in queries
+    }
+    xterms = sorted({t for xs in xmap.values() for t in xs})
+    xknown = set(reader.idf_map(xterms)) if xterms else set()
+    qrows = [(qid, k, t, False) for qid, k, ts in plan for t in ts if t in idf_map]
+    xrows = [
+        (qid, 0, t, True)
+        for qid, xs in xmap.items()
+        for t in xs
+        if t in xknown
+    ]
+    qdf = spark.createDataFrame(
+        qrows + xrows, "qid int, k int, term string, excl boolean"
+    )
 
-    blocks = reader.postings().filter(F.col("term").isin(list(idf_map))).join(
+    scan_terms = list(idf_map) + sorted(xknown - set(idf_map))
+    blocks = reader.postings().filter(F.col("term").isin(scan_terms)).join(
         F.broadcast(qdf), "term"
     )
 
@@ -141,6 +163,8 @@ def search_index_exhaustive(reader: IndexReader, queries: list[dict]) -> DataFra
                 pdf["first_docid"].to_numpy(), ns,
                 pdf["docids_bin"], pdf["tfs_bin"], pdf["dls_bin"],
             )
+            # Exclusion terms have no idf entry -> NaN impact; those
+            # rows are flagged and never reach the score sum.
             idf_rep = np.repeat(pdf["term"].map(idf_map).to_numpy(dtype=np.float64), ns)
             imp = impact_np(tfs, dls, idf_rep, avgdl)
             yield pd.DataFrame(
@@ -149,14 +173,35 @@ def search_index_exhaustive(reader: IndexReader, queries: list[dict]) -> DataFra
                     "k": np.repeat(pdf["k"].to_numpy(np.int32), ns),
                     "docid": d,
                     "impact": imp,
+                    "excl": np.repeat(pdf["excl"].to_numpy(bool), ns),
                 }
             )
 
-    cand = (
-        blocks.mapInPandas(decode_score, "qid int, k int, docid long, impact double")
-        .groupBy("qid", "k", "docid")
-        .agg(F.sum("impact").alias("score"))
+    decoded = blocks.mapInPandas(
+        decode_score, "qid int, k int, docid long, impact double, excl boolean"
     )
+    if xrows:
+        # One scan, one shuffle: fold the disqualification into the
+        # same aggregation (max(excl) marks a doc hit by any MUST_NOT
+        # term; its positive impacts are summed but the row is dropped
+        # before top-k). Exclusion rows carry k=0, so max(k) recovers
+        # the query's real k.
+        cand = (
+            decoded.groupBy("qid", "docid")
+            .agg(
+                F.sum(F.when(~F.col("excl"), F.col("impact"))).alias("score"),
+                F.max("k").alias("k"),
+                F.max("excl").alias("is_excl"),
+            )
+            .filter(~F.col("is_excl") & F.col("score").isNotNull())
+            .select("qid", "k", "docid", "score")
+        )
+    else:
+        cand = (
+            decoded.filter(~F.col("excl"))
+            .groupBy("qid", "k", "docid")
+            .agg(F.sum("impact").alias("score"))
+        )
     return _topk_window(cand)
 
 
@@ -1376,7 +1421,12 @@ class LocalIndexProbe:
             self._cache.popitem(last=False)
         return out
 
-    def search_batch(self, queries: list[str], k: int = 10) -> list[list[tuple[int, int, float]]]:
+    def search_batch(
+        self,
+        queries: list[str],
+        k: int = 10,
+        excludes: list[str] | None = None,
+    ) -> list[list[tuple[int, int, float]]]:
         """Per-query results for a BATCH of queries, identical rows to
         ``search`` on each — the union of the batch's distinct terms
         preloads in bounded chunks (one term-filtered parquet read per
@@ -1387,14 +1437,28 @@ class LocalIndexProbe:
         terms survive until scored, then restored and trimmed — the
         ``LocalIVFProbe.search_batch`` discipline. The middle ground
         between single probes and the distributed ``search_index_wand``
-        job: right for 10-1000-query batches in a serving process."""
+        job: right for 10-1000-query batches in a serving process.
+
+        ``excludes`` is the per-query MUST_NOT list (parallel to
+        ``queries``; "" or None = no exclusion for that slot) with the
+        same contract as ``search(exclude=)``; exclude terms join the
+        preload union so a batch with excludes still pays the same
+        bounded chunked reads."""
         from .lru import raised_cache_cap
 
-        union = sorted({t for q in queries for t in tokenize(q)})
+        if excludes is not None and len(excludes) != len(queries):
+            raise ValueError(
+                f"excludes must parallel queries: {len(excludes)} != {len(queries)}"
+            )
+        xs = excludes if excludes is not None else [""] * len(queries)
+        union = sorted(
+            {t for q in queries for t in tokenize(q)}
+            | {t for x in xs if x for t in tokenize(x)}
+        )
         with raised_cache_cap(self, len(union) + 1):
             for i in range(0, len(union), 512):
                 self._load_terms(union[i : i + 512])
-            return [self.search(q, k=k) for q in queries]
+            return [self.search(q, k=k, exclude=x or "") for q, x in zip(queries, xs)]
 
     def search(
         self, query: str, k: int = 10, exclude: str = ""
@@ -1530,3 +1594,64 @@ def render_snippets(
         .join(F.broadcast(hits), id_col)
         .select(*[c for c in hits.columns], snippet.alias("snippet"))
     )
+
+
+def local_snippets(
+    index_dir: str,
+    corpus_path: str,
+    hits: list[tuple],
+    pad: int = 2,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> list[tuple]:
+    """Driver-local twin of :func:`render_snippets` for
+    ``LocalIndexProbe.search_phrase(return_window=True)`` output —
+    window offsets → snippet TEXT without a Spark job, completing the
+    probe serving path (search → window → rendered highlight) for
+    single interactive lookups.
+
+    ``hits`` rows are ``(rank, docid, score, win_start, win_end)``;
+    returns the same rows extended with ``(doc_key, snippet)``. The
+    internal docids resolve through the index's own ``docmap`` and the
+    text through a ``doc-key``-filtered pyarrow read of the stored
+    corpus (row-group stats prune non-matching groups — the same
+    touch-only-probed-regions discipline as ``_load_terms``).
+    Tokenization is the pinned Python ``tokenize`` (pytest-pinned to
+    the JVM ``tokens_col``), and the slice/clamp algebra is the same
+    expression, so the snippet STRING is identical to the distributed
+    renderer's for the same hit (pytest-asserted). Like the probe's
+    postings reads, this trusts committed-compaction GC (docmap rows
+    are deduped by docid as a crash-window guard)."""
+    import pyarrow.dataset as ds
+
+    if pad < 0:
+        raise ValueError(f"pad must be >= 0, got {pad}")
+    if not hits:
+        return []
+    docids = sorted({int(h[1]) for h in hits})
+    dm = ds.dataset(f"{index_dir}/docmap", format="parquet").to_table(
+        columns=["docid", "url"], filter=ds.field("docid").isin(docids)
+    )
+    key_by_docid: dict[int, str] = {}
+    for d, u in zip(dm["docid"].to_pylist(), dm["url"].to_pylist()):
+        key_by_docid.setdefault(int(d), u)
+    missing = [d for d in docids if d not in key_by_docid]
+    if missing:
+        raise KeyError(f"docids absent from {index_dir}/docmap: {missing[:5]}")
+    keys = sorted(set(key_by_docid.values()))
+    ct = ds.dataset(corpus_path, format="parquet").to_table(
+        columns=[id_col, text_col], filter=ds.field(id_col).isin(keys)
+    )
+    text_by_key = dict(zip(ct[id_col].to_pylist(), ct[text_col].to_pylist()))
+    miss_txt = [k for k in keys if k not in text_by_key]
+    if miss_txt:
+        raise KeyError(f"doc keys absent from corpus {corpus_path}: {miss_txt[:5]}")
+    out = []
+    for h in hits:
+        docid, ws, we = int(h[1]), int(h[-2]), int(h[-1])
+        key = key_by_docid[docid]
+        toks = tokenize(text_by_key[key])
+        lo = max(ws - pad, 0)
+        hi = min(we + pad, len(toks) - 1)
+        out.append(tuple(h) + (key, " ".join(toks[lo : hi + 1])))
+    return out

@@ -953,17 +953,61 @@ def iban_valid_col(cand) -> "F.Column":
     return total == 1
 
 
+# ISO 13616 per-country IBAN lengths (the public SWIFT IBAN registry's
+# length column) — a checksum can be arithmetically valid on a string
+# that no country issues; registry validation additionally pins the
+# candidate's LENGTH to its country code's registered value, and an
+# unregistered country code is invalid outright. Subset covering the
+# SEPA majors; callers can extend it — the validator and the oracle
+# generator both read this one dict, so Spark and SQL can't drift.
+IBAN_LENGTHS = {
+    "AD": 24, "AT": 20, "BE": 16, "CH": 21, "CZ": 24, "DE": 22,
+    "DK": 18, "EE": 20, "ES": 24, "FI": 18, "FR": 27, "GB": 22,
+    "GR": 27, "HR": 21, "HU": 28, "IE": 22, "IT": 27, "LT": 20,
+    "LU": 20, "LV": 21, "NL": 18, "NO": 15, "PL": 28, "PT": 25,
+    "RO": 24, "SE": 24, "SI": 19, "SK": 24,
+}
+
+
+def iban_registry_valid_col(cand) -> "F.Column":
+    """mod-97 AND the country's registered length (:data:`IBAN_LENGTHS`;
+    unknown country → false). The length check compares against -1 for
+    unregistered codes, so the predicate is two-valued — no NULL
+    semantics to keep aligned across engines."""
+    cc = F.substring(cand, 1, 2)
+    expected = None
+    for c, ln in sorted(IBAN_LENGTHS.items()):
+        step = F.when if expected is None else expected.when
+        expected = step(cc == c, F.lit(ln))
+    expected = expected.otherwise(F.lit(-1))
+    return iban_valid_col(cand) & (F.length(cand) == expected)
+
+
+def iban_registry_length_sql(var: str) -> str:
+    """The oracle-side twin of the length lookup: a CASE expression over
+    the SAME :data:`IBAN_LENGTHS` dict (ELSE -1 = unknown country)."""
+    arms = " ".join(
+        f"WHEN '{c}' THEN {ln}" for c, ln in sorted(IBAN_LENGTHS.items())
+    )
+    return f"CASE substring({var}, 1, 2) {arms} ELSE -1 END"
+
+
 def iban_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    registry: bool = False,
 ) -> DataFrame:
     """(id, n_iban_candidates, n_iban_valid, redacted) — contiguous
     IBAN-shaped runs counted, mod-97-checked, and ONLY checksum-valid
     ones masked as ``<IBAN>`` — the same regex-then-checksum cleaner
-    shape as :func:`cc_luhn_stats`, same ONE-scan zero-shuffle plan."""
+    shape as :func:`cc_luhn_stats`, same ONE-scan zero-shuffle plan.
+    ``registry=True`` additionally requires the country's registered
+    length (:func:`iban_registry_valid_col`) before masking."""
     return _checksum_mask_stats(
-        docs, IBAN_CANDIDATE_PATTERN, iban_valid_col, "<IBAN>", "iban",
+        docs, IBAN_CANDIDATE_PATTERN,
+        iban_registry_valid_col if registry else iban_valid_col,
+        "<IBAN>", "iban",
         id_col=id_col, text_col=text_col,
     )
 

@@ -1299,3 +1299,133 @@ def test_render_snippets_semantics(spark):
             assert "alpha beta" in got[did]  # the match survives any pad
     with pytest.raises(ValueError):
         render_snippets(hits, docs, pad=-1)
+
+
+# ------------------------------------------------- exhaustive/probe-batch MUST_NOT
+
+def test_exhaustive_and_probe_batch_excludes(spark, wand_index7):
+    """search_index_exhaustive must honor the same MUST_NOT contract as
+    the WAND kernels (mixed batch: real / OOV / self-voiding / absent
+    excludes → row-identical), stay unchanged without excludes, and
+    LocalIndexProbe.search_batch(excludes=) must equal per-query
+    search(exclude=)."""
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader, LocalIndexProbe, search_index_exhaustive, search_index_wand,
+    )
+
+    reader = IndexReader(spark, wand_index7)
+    batch = [
+        {"qid": 0, "query": "bababa cecece", "k": 10, "exclude": "dadada"},
+        {"qid": 1, "query": "bababa", "k": 5, "exclude": "zzzznope"},  # OOV excl
+        {"qid": 2, "query": "bababa", "k": 5, "exclude": "bababa"},   # voids itself
+        {"qid": 3, "query": "cecece dadada", "k": 7},                  # no exclude
+    ]
+    rows = lambda res: sorted(
+        (r["qid"], r["rank"], r["docid"], r["score"]) for r in res.collect()
+    )
+    assert rows(search_index_exhaustive(reader, batch)) == \
+           rows(search_index_wand(reader, batch, vectorized=False))
+    # no-exclude path: still identical to WAND (the pre-existing invariant)
+    plain = [{"qid": 0, "query": "bababa cecece", "k": 10}]
+    assert rows(search_index_exhaustive(reader, plain)) == \
+           rows(search_index_wand(reader, plain))
+
+    probe = LocalIndexProbe(wand_index7)
+    queries = ["bababa cecece", "bababa", "bababa", "cecece dadada"]
+    excludes = ["dadada", "zzzznope", "bababa", None]
+    got = probe.search_batch(queries, k=10, excludes=excludes)
+    want = [probe.search(q, k=10, exclude=x or "") for q, x in zip(queries, excludes)]
+    assert got == want
+    assert got[2] == []  # self-voiding slot
+    # excludes must parallel queries
+    with pytest.raises(ValueError):
+        probe.search_batch(queries, k=10, excludes=["a"])
+    # excludes=None keeps the original contract
+    assert probe.search_batch(queries[:2], k=10) == \
+           [probe.search(q, k=10) for q in queries[:2]]
+
+
+# ------------------------------------------------- driver-local snippets
+
+def test_local_snippets_identical(spark, tmp_path):
+    """local_snippets (pyarrow + Python tokenizer) must render the SAME
+    snippet strings as the distributed render_snippets (JVM tokenizer +
+    column slice) for the probe's window hits, and fail loudly on
+    unknown docids / negative pad."""
+    from semantic_search_engine_spark.operators.build import build_index
+    from semantic_search_engine_spark.operators.query import (
+        LocalIndexProbe, local_snippets, render_snippets,
+    )
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    cdir = str(tmp_path / "corpus")
+    generate_webtext(spark, 600).write.parquet(cdir)
+    d = str(tmp_path / "widx")
+    build_index(spark.read.parquet(cdir), d, num_shards=3, store_positions=True)
+    probe = LocalIndexProbe(d)
+    for unordered in (False, True):
+        hits = probe.search_phrase(
+            "bababa cecece", k=10, max_gap=3, unordered=unordered,
+            return_window=True,
+        )
+        assert hits
+        loc = local_snippets(d, cdir, hits, pad=2)
+        assert len(loc) == len(hits)
+        hdf = spark.createDataFrame(
+            [(int(h[1]), int(h[3]), int(h[4])) for h in hits],
+            "docid long, win_start long, win_end long",
+        ).join(read_docmap(spark, d).select("docid", "url"), "docid")
+        dist = {
+            r["url"]: r["snippet"]
+            for r in render_snippets(
+                hdf.select("url", "win_start", "win_end"),
+                spark.read.parquet(cdir), pad=2, id_col="url",
+            ).collect()
+        }
+        for row in loc:
+            rank, docid, score, ws, we, url, snippet = row
+            assert dist[url] == snippet, (docid, url)
+    assert local_snippets(d, cdir, [], pad=2) == []
+    with pytest.raises(ValueError):
+        local_snippets(d, cdir, hits, pad=-1)
+    with pytest.raises(KeyError):
+        local_snippets(d, cdir, [(1, 10**12, 1.0, 0, 1)], pad=2)
+
+
+# ------------------------------------------------- IBAN length registry
+
+def test_iban_registry_semantics(spark):
+    """registry=True must additionally require the ISO 13616 country
+    length: a mod-97-valid 20-char DE and a mod-97-valid unregistered
+    ZZ both stay UNmasked (plain checksum masks them), while a real DE
+    IBAN masks under both."""
+    from semantic_search_engine_spark.operators.textstats import (
+        IBAN_LENGTHS, iban_registry_length_sql, iban_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "pay DE89370400440532013000 now"),     # valid both ways
+            (1, "pay DE291234567890123456 now"),       # mod-97 ok, len 20 != 22
+            (2, "wire ZZ73123456789012345678 now"),    # mod-97 ok, unknown cc
+            (3, "ref GB82WEST12345698765433 now"),     # checksum invalid
+            (4, "plain text, no candidates"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {int(r["doc_id"]): r for r in iban_stats(docs).collect()}
+    reg = {int(r["doc_id"]): r for r in iban_stats(docs, registry=True).collect()}
+    assert [plain[i]["n_iban_valid"] for i in range(5)] == [1, 1, 1, 0, 0]
+    assert [reg[i]["n_iban_valid"] for i in range(5)] == [1, 0, 0, 0, 0]
+    # candidate counts identical — the registry changes VALIDITY only
+    for i in range(5):
+        assert reg[i]["n_iban_candidates"] == plain[i]["n_iban_candidates"]
+    assert reg[0]["redacted"] == "pay <IBAN> now"
+    assert reg[1]["redacted"] == "pay DE291234567890123456 now"  # unmasked
+    assert plain[1]["redacted"] == "pay <IBAN> now"              # checksum-only masks
+    assert reg[2]["redacted"] == "wire ZZ73123456789012345678 now"
+    assert reg[4]["redacted"] == "plain text, no candidates"
+    # the SQL twin is generated from the same dict — one arm per country
+    sql = iban_registry_length_sql("c")
+    assert sql.count("WHEN") == len(IBAN_LENGTHS)
+    assert "ELSE -1" in sql
