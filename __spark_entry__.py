@@ -117,6 +117,21 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 """
 
 
+def _bm25_dedup_oracle(k: int) -> str:
+    # the dedup-ingest entry's corpus: first occurrence per exact text,
+    # keep-first = lowest doc_id (batches are doc_id-range ordered and
+    # in-batch keep-first is by id, so earliest-batch == lowest id) —
+    # the same BM25 algebra over the deduped base
+    base = _bm25_oracle(k).replace("FROM documents", "FROM dedup_base")
+    return base.replace(
+        "WITH tok AS",
+        "WITH dedup_base AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1), "
+        "tok AS",
+        1,
+    )
+
+
 _WAND_CACHE: dict[str, str] = {}
 
 
@@ -222,6 +237,45 @@ def q_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
         build_index(docs.filter(F.col("url") % 2 == 0), d, num_shards=4)
         append_index(docs.filter(F.col("url") % 2 == 1), d, num_shards=4)
+        _WAND_CACHE[key] = d
+    return _serve_wand(spark, _WAND_CACHE[key])
+
+
+def q_bm25_dedup_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-generation EXACT dedup at ingest (operators/ingest_dedup):
+    three doc_id-range micro-batches where batch 2 re-injects batch 1's
+    texts under shifted ids, batch 3 re-injects batch 2's originals AND
+    carries an in-batch duplicate pair — every duplicate must be dropped
+    by the Bloom-sidecar + bucket-pruned-verification path (true dups
+    are Bloom positives by construction, so the exact-verification join
+    is exercised, not just the Bloom fast path). Serving the standard
+    WAND query over the resulting index must hash-match a DuckDB BM25
+    oracle over the first-occurrence-per-text corpus."""
+    from semantic_search_engine_spark.operators.ingest_dedup import (
+        IngestDeduper, dedup_ingest_generation,
+    )
+
+    key = f"dding:{os.path.abspath(sf_dir)}"
+    if key not in _WAND_CACHE:
+        d = tempfile.mkdtemp(prefix="ssse_dding_")
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
+        hi = docs.agg(F.max("url")).collect()[0][0]
+        c1, c2 = hi // 3, 2 * hi // 3
+        BIG = 10_000_000
+        b1 = docs.filter(F.col("url") <= c1)
+        b2o = docs.filter((F.col("url") > c1) & (F.col("url") <= c2))
+        b2 = b2o.unionByName(b1.withColumn("url", F.col("url") + BIG))
+        b3o = docs.filter(F.col("url") > c2)
+        b3 = b3o.unionByName(b2o.withColumn("url", F.col("url") + BIG)).unionByName(
+            # deterministic in-batch duplicate pair (limit(1) would make
+            # the build input nondeterministic across jobs)
+            b3o.filter(F.col("url") == hi).withColumn("url", F.col("url") + 2 * BIG)
+        )
+        ded = IngestDeduper(os.path.join(d, "dedup"))
+        for i, b in enumerate((b1, b2, b3)):
+            dedup_ingest_generation(
+                b, d, tag=f"entry-b{i}", deduper=ded, num_shards=2
+            )
         _WAND_CACHE[key] = d
     return _serve_wand(spark, _WAND_CACHE[key])
 
@@ -1702,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_unordered_windows": q_bm25_near_unordered_windows,
         "bm25_incremental_topk": q_bm25_incremental_topk,
         "bm25_compacted_topk": q_bm25_compacted_topk,
+        "bm25_dedup_ingest_topk": q_bm25_dedup_ingest_topk,
         "bm25_snapshot_topk": q_bm25_snapshot_topk,
         "term_doc_freq": q_term_doc_freq,
         "corpus_stats": q_corpus_stats,
@@ -1918,6 +1973,7 @@ FROM win JOIN t USING (doc_id)
         "bm25_near_unordered_windows": _bm25_near_unordered_windows_oracle(BM25_K),
         "bm25_incremental_topk": _bm25_oracle(BM25_K),
         "bm25_compacted_topk": _bm25_oracle(BM25_K),
+        "bm25_dedup_ingest_topk": _bm25_dedup_oracle(BM25_K),
         "bm25_snapshot_topk": _bm25_oracle(BM25_K),
         "term_doc_freq": f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents)

@@ -65,13 +65,20 @@ def stream_ingest(
     text_col: str = "text",
     url_col: str = "url",
     store_positions: bool = False,
+    dedup_exact: bool = False,
 ):
     """Start a streaming query that ingests ``stream_df`` (the corpus
     schema: at least ``url_col`` + ``text_col``) into ``index_dir``.
     Returns the StreamingQuery; ``trigger`` is passed through (e.g.
     ``{"availableNow": True}`` to drain and stop). ``store_positions``
     must match the base index's layout (finalize refuses a mixed
-    positions/positionless generation set)."""
+    positions/positionless generation set). ``dedup_exact=True`` drops
+    every micro-batch's already-ingested CONTENT before it allocates a
+    generation (operators/ingest_dedup: Bloom sidecars + bucket-pruned
+    exact verification — O(batch) per trigger, independent of history;
+    an all-duplicate batch allocates no generation at all). The
+    fingerprint commit is ordered AFTER the generation ingest and is
+    tag-idempotent, so the streaming replay contract is unchanged."""
     state = {"batches": 0}
     ckpt = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     # tag namespace = stable stream identity (checkpoint path hash):
@@ -82,21 +89,44 @@ def stream_ingest(
 
     stream_id = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[:10]
 
+    deduper = None
+    if dedup_exact:
+        from ..operators.ingest_dedup import IngestDeduper
+
+        deduper = IngestDeduper(os.path.join(index_dir, "dedup"))
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         state["batches"] += 1
         do_finalize = finalize_every > 0 and state["batches"] % finalize_every == 0
-        ingest_generation(
-            batch_df.select(url_col, text_col),
-            index_dir,
-            num_shards=num_shards_per_batch,
-            text_col=text_col,
-            url_col=url_col,
-            tag=f"stream-{stream_id}-batch-{batch_id}",
-            finalize=do_finalize,
-            store_positions=store_positions,
-        )
+        tag = f"stream-{stream_id}-batch-{batch_id}"
+        docs = batch_df.select(url_col, text_col)
+        if deduper is not None:
+            from ..operators.ingest_dedup import dedup_ingest_generation
+
+            dedup_ingest_generation(
+                docs,
+                index_dir,
+                tag=tag,
+                deduper=deduper,
+                id_col=url_col,
+                text_col=text_col,
+                num_shards=num_shards_per_batch,
+                finalize=do_finalize,
+                store_positions=store_positions,
+            )
+        else:
+            ingest_generation(
+                docs,
+                index_dir,
+                num_shards=num_shards_per_batch,
+                text_col=text_col,
+                url_col=url_col,
+                tag=tag,
+                finalize=do_finalize,
+                store_positions=store_positions,
+            )
         if compact_tier_k:
             # single-writer by construction: foreachBatch handlers run
             # serially within one streaming query. A no-op (one bounded
