@@ -206,22 +206,46 @@ class IngestDeduper:
             except Exception:
                 pass
 
-    def commit(self, docs: DataFrame, tag: str, id_col: str = "url",
-               text_col: str = "text") -> dict | None:
-        """Record ``docs`` (an already-ingested, already-deduped batch)
-        in the fingerprint store + a new Bloom. Idempotent per tag; the
-        Bloom meta json is the commit point (bitmap written first)."""
+    def compact_blooms(self, spark, min_blooms: int = 8) -> dict | None:
+        """Fold ALL Bloom sidecars into one sized to the full store —
+        the dedup plane's analog of index compaction. Without it a
+        forever-stream probes one Bloom per historical batch (the probe
+        kernel is vectorized but still O(#blooms) passes); after it,
+        one. No-op below ``min_blooms`` sidecars.
+
+        Cost is O(history) — one scan of the fingerprint store — so run
+        it on the same rare cadence as finalize/snapshot, not per batch
+        (amortized O(history/M) per batch at ``bloom_compact_every=M``).
+        Crash-safe without coordination: the folded Bloom commits first
+        (its meta json is the commit point) and stale per-batch Blooms
+        are deleted after; a crash in between leaves extra Blooms,
+        which only ADD positives — the exact verification absorbs them,
+        so correctness never depends on the deletion finishing."""
+        tags = self.committed_tags()
+        if len(tags) < int(min_blooms) or not os.path.isdir(self._fps_dir()):
+            return None
+        store = spark.read.parquet(self._fps_dir()).select("fp")
+        epoch = sum(1 for t in tags if t.startswith("folded-")) + 1
+        meta = self._write_bloom(store, f"folded-{epoch:06d}")
+        self.release()
+        for t in tags:
+            for ext in (".json", ".bin"):
+                try:
+                    os.remove(os.path.join(self.dir, "blooms", t + ext))
+                except FileNotFoundError:
+                    pass
+            self._bloom_cache.pop(t, None)
+        return meta
+
+    def _write_bloom(self, fps_df: DataFrame, tag: str) -> dict | None:
+        """Build + atomically commit one Bloom over an ``fp``-column
+        DataFrame. Idempotent per tag (bitmap first, meta json = commit
+        point)."""
         safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in tag)
         base = os.path.join(self.dir, "blooms", safe)
         if os.path.exists(base + ".json"):
-            self.release()
             return None
-        fps = (
-            docs.select(fingerprint_col(F.col(text_col)).alias("fp"))
-            .distinct()
-            .withColumn("b", _bucket_col(F.col("fp")))
-            .persist()
-        )
+        fps = fps_df.select("fp").persist()
         self._live_persists.append(fps)
         n = fps.count()
         if n == 0:
@@ -229,14 +253,7 @@ class IngestDeduper:
             np.zeros(8, dtype=np.uint8).tofile(base + ".bin")
             with open(base + ".json", "w") as f:
                 json.dump(meta, f)
-            self.release()
             return meta
-        # fp-sorted within files → parquet min/max row-group stats make
-        # the verification reads skip non-matching groups
-        (
-            fps.repartition("b").sortWithinPartitions("fp")
-            .write.mode("append").partitionBy("b").parquet(self._fps_dir())
-        )
         m = int(n) * self.bits_per_key | 1  # odd m keeps the stride coprime-ish
         k = self.n_hashes
         nbytes = (m + 7) // 8
@@ -270,6 +287,33 @@ class IngestDeduper:
         meta = {"m": m, "k": k, "n": int(n), "tag": tag}
         with open(base + ".json", "w") as f:
             json.dump(meta, f)
+        return meta
+
+    def commit(self, docs: DataFrame, tag: str, id_col: str = "url",
+               text_col: str = "text") -> dict | None:
+        """Record ``docs`` (an already-ingested, already-deduped batch)
+        in the fingerprint store + a new Bloom. Idempotent per tag —
+        the existence check also fences the store append, so a replay
+        never duplicates fingerprint rows."""
+        safe = "".join(c if c.isalnum() or c in "-_." else "-" for c in tag)
+        if os.path.exists(os.path.join(self.dir, "blooms", safe + ".json")):
+            self.release()
+            return None
+        fps = (
+            docs.select(fingerprint_col(F.col(text_col)).alias("fp"))
+            .distinct()
+            .withColumn("b", _bucket_col(F.col("fp")))
+            .persist()
+        )
+        self._live_persists.append(fps)
+        if fps.count() > 0:
+            # fp-sorted within files → parquet min/max row-group stats
+            # make the verification reads skip non-matching groups
+            (
+                fps.repartition("b").sortWithinPartitions("fp")
+                .write.mode("append").partitionBy("b").parquet(self._fps_dir())
+            )
+        meta = self._write_bloom(fps, tag)
         self.release()
         return meta
 

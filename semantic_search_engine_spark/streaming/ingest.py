@@ -66,6 +66,7 @@ def stream_ingest(
     url_col: str = "url",
     store_positions: bool = False,
     dedup_exact: bool = False,
+    bloom_fold_at: int = 0,
 ):
     """Start a streaming query that ingests ``stream_df`` (the corpus
     schema: at least ``url_col`` + ``text_col``) into ``index_dir``.
@@ -78,7 +79,11 @@ def stream_ingest(
     exact verification — O(batch) per trigger, independent of history;
     an all-duplicate batch allocates no generation at all). The
     fingerprint commit is ordered AFTER the generation ingest and is
-    tag-idempotent, so the streaming replay contract is unchanged."""
+    tag-idempotent, so the streaming replay contract is unchanged.
+    ``bloom_fold_at=K`` (with ``dedup_exact``) folds the per-batch
+    Bloom sidecars into one whenever K accumulate — the dedup plane's
+    compaction loop, keeping the per-batch probe at O(1) Blooms
+    instead of O(#batches) on a forever-stream."""
     state = {"batches": 0}
     ckpt = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     # tag namespace = stable stream identity (checkpoint path hash):
@@ -127,6 +132,10 @@ def stream_ingest(
                 finalize=do_finalize,
                 store_positions=store_positions,
             )
+        if deduper is not None and bloom_fold_at > 0:
+            # cheap no-op (one listdir) below the threshold; O(store)
+            # when it fires — same rare-cadence class as finalize
+            deduper.compact_blooms(batch_df.sparkSession, min_blooms=bloom_fold_at)
         if compact_tier_k:
             # single-writer by construction: foreachBatch handlers run
             # serially within one streaming query. A no-op (one bounded

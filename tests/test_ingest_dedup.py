@@ -171,3 +171,31 @@ def test_stream_ingest_dedup_exact(spark, tmp_path_factory):
     b = _wand_by_url(spark, idx, queries)
     assert (a["url"].values == b["url"].values).all()
     assert (a["score"].values == b["score"].values).all()
+
+
+def test_bloom_fold_preserves_dedup(spark, tmp_path):
+    """compact_blooms must fold N per-batch Blooms into one with the
+    SAME dedup behavior: every previously-committed doc still drops,
+    fresh content still survives; below min_blooms it is a no-op; a
+    crash window (old Blooms not yet deleted) only adds positives."""
+    ded = IngestDeduper(str(tmp_path / "d"))
+    batches = [generate_webtext(spark, 150, start=150 * i) for i in range(4)]
+    for i, b in enumerate(batches):
+        ded.commit(b, tag=f"g{i}")
+    assert len(ded.committed_tags()) == 4
+    assert ded.compact_blooms(spark, min_blooms=8) is None  # below threshold
+    meta = ded.compact_blooms(spark, min_blooms=4)
+    assert meta is not None and meta["n"] == 600
+    assert ded.committed_tags() == ["folded-000001"]
+    # dedup behavior unchanged: all 600 committed docs drop, fresh pass
+    all_committed = generate_webtext(spark, 600)
+    assert ded.filter_new(all_committed).count() == 0
+    fresh = generate_webtext(spark, 300, start=600)
+    assert ded.filter_new(fresh).count() == 300
+    ded.release()
+    # the fold composes with later commits and re-folds
+    ded.commit(fresh, tag="g4")
+    assert ded.compact_blooms(spark, min_blooms=2)["n"] == 900
+    assert ded.committed_tags() == ["folded-000002"]
+    assert ded.filter_new(generate_webtext(spark, 900)).count() == 0
+    ded.release()
