@@ -1386,6 +1386,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicate_groups(_docs_with_recrawl(spark, sf_dir))
 
 
+# winnowing (Schleimer et al. 2003 / MOSS): substring-level dup pairs.
+# The injected 16-token sentence (appended to every 41st doc) exercises
+# the guarantee — a shared run of >= w+s-1 tokens MUST pair regardless
+# of alignment; the natural corpus contributes its own data-driven pairs.
+WINNOW_W, WINNOW_S, WINNOW_STEP = 8, 4, 41
+WINNOW_SENT = (
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today again"
+)
+
+
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint candidate pairs (operators/dedup.py:
+    winnow_fingerprints / substring_dup_pairs): every shared token run
+    of >= w+s-1 tokens yields a common fingerprint in both docs — the
+    substring-level dedup axis (quotes, mirrored paragraphs) whole-set
+    Jaccard dilutes away. The oracle recomputes gram md5s, window mins,
+    and the pair join independently in DuckDB list algebra."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % WINNOW_STEP == 0, F.lit(" " + WINNOW_SENT)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.substring_dup_pairs(
+        docs, w=WINNOW_W, s=WINNOW_S, min_shared=1, max_fp_df=1000
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_shingle_df is the skew guard (a shingle shared by >cap docs is
     # join skew, not dedup signal); pinned far above the sf0.01 max df
@@ -1786,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_funnel_v3": q_corpus_filter_funnel_v3,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "substring_dup_pairs": q_substring_dup_pairs,
         "text_dup_clusters": q_text_dup_clusters,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "minhash_signatures": q_minhash_signatures,
@@ -2485,6 +2517,29 @@ SELECT count(*)::BIGINT AS n_total,
        count(DISTINCT CASE WHEN lang_pred = 'en' AND quality >= {FUNNEL_QUALITY_T}
                             AND topf <= {FUNNEL_REP_T} AND gkeep THEN fp END)::BIGINT AS n_unique
 FROM j
+""",
+        "substring_dup_pairs": f"""
+WITH pv AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % {WINNOW_STEP} = 0 THEN ' {WINNOW_SENT}' ELSE '' END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, {TOK_SQL.format(col="text")} AS ts FROM pv),
+grams AS (
+  SELECT doc_id, list_transform(range(1, len(ts) - {WINNOW_W} + 2),
+         i -> md5(array_to_string(list_slice(ts, i, i + {WINNOW_W} - 1), ' '))) AS gs
+  FROM toks WHERE len(ts) >= {WINNOW_W}
+),
+fps AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(gs) - {WINNOW_S}, 0) + 2),
+           j -> list_min(list_slice(gs, j, j + {WINNOW_S} - 1))))) AS fp
+  FROM grams
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 1
 """,
         "dedup_exact": f"""
 WITH crawl AS (

@@ -90,6 +90,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, w: int = 8, s: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, fp) DISTINCT winnowing fingerprints — Schleimer/Wilkerson/
+    Aiken 2003 (the MOSS local fingerprinting algorithm), the
+    substring-level dedup axis Jaccard/MinHash don't give: hash every
+    w-token gram (md5; the hex STRING is the comparator, so Spark and
+    ANSI SQL order identically), slide a window over s consecutive gram
+    hashes, keep each window's minimum.
+
+    The winnowing guarantee: any token run of length ≥ w + s − 1 shared
+    by two documents produces at least one COMMON fingerprint in both,
+    regardless of how the run aligns with either document's token grid
+    — the property stride-sampling lacks and the reason MOSS detects
+    partial overlap (quotes, boilerplate paragraphs, near-identical
+    sections) that whole-set similarity dilutes away.
+
+    Shape: pure in-doc array expressions (transform + slice +
+    array_min), ONE explode at the end — embarrassingly parallel over
+    the corpus, no shuffle until the caller joins fingerprints."""
+    from ..functions.tokenizer import tokens_col
+
+    if w < 1 or s < 1:
+        raise ValueError(f"w and s must be >= 1, got w={w} s={s}")
+    toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("ts"))
+    grams = F.expr(
+        f"transform(sequence(0, size(ts) - {w}), "
+        f"i -> md5(concat_ws(' ', slice(ts, i + 1, {w}))))"
+    )
+    g = toks.filter(F.size("ts") >= w).select(F.col(id_col), grams.alias("gs"))
+    fps = F.expr(
+        f"transform(sequence(0, greatest(size(gs) - {s}, 0)), "
+        f"j -> array_min(slice(gs, j + 1, {s})))"
+    )
+    return g.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    w: int = 8,
+    s: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints, i.e. candidate SUBSTRING-level duplicates
+    (shared runs of ≥ w + s − 1 tokens: quotes, mirrored paragraphs,
+    boilerplate). Same candidate-join shape as ``ngram_jaccard_pairs``:
+    fingerprint equi-join, never all-pairs; ``max_fp_df`` drops
+    corpus-hot fingerprints (a fingerprint in thousands of docs is
+    boilerplate, carries no pair signal, and is pure join skew — the
+    same cap discipline as ``max_shingle_df``)."""
+    fp = winnow_fingerprints(docs, w=w, s=s, id_col=id_col, text_col=text_col)
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fp").count()
+            .filter(F.col("count") > max_fp_df).select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = MINHASH_SEEDS, n: int = 3,

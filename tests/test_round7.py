@@ -1429,3 +1429,68 @@ def test_iban_registry_semantics(spark):
     sql = iban_registry_length_sql("c")
     assert sql.count("WHEN") == len(IBAN_LENGTHS)
     assert "ELSE -1" in sql
+
+
+# ------------------------------------------------- winnowing (MOSS) fingerprints
+
+def test_winnowing_semantics(spark):
+    """winnow_fingerprints must equal a direct Python transcription of
+    Schleimer et al.'s algorithm on random docs; the detection
+    guarantee (any shared run of >= w+s-1 tokens pairs the docs) must
+    hold for planted runs at random alignments; the hot-fingerprint cap
+    must drop boilerplate-only pairs."""
+    import hashlib
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.dedup import (
+        substring_dup_pairs, winnow_fingerprints,
+    )
+
+    W, S = 5, 3
+    rng = np.random.default_rng(20260821)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def py_winnow(text):
+        ts = tokenize(text)
+        if len(ts) < W:
+            return set()
+        gs = [hashlib.md5(" ".join(ts[i:i + W]).encode()).hexdigest()
+              for i in range(len(ts) - W + 1)]
+        return {min(gs[j:j + S]) for j in range(max(len(gs) - S, 0) + 1)}
+
+    # planted shared runs of exactly w+s-1 tokens at random offsets
+    run = " ".join(rng.choice(vocab, size=W + S - 1))
+    rows, planted = [], []
+    for i in range(12):
+        a = " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+        b = " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+        if i % 3 == 0:  # docs 0,3,6,9 carry the run at arbitrary offsets
+            rows.append((i, f"{a} {run} {b}".strip()))
+            planted.append(i)
+        else:
+            rows.append((i, f"{a} {b}".strip() or "lone"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {}
+    for r in winnow_fingerprints(docs, w=W, s=S).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in rows:
+        assert got.get(i, set()) == py_winnow(t), i
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in substring_dup_pairs(docs, w=W, s=S, min_shared=1).collect()}
+    for x in planted:
+        for y in planted:
+            if x < y:
+                assert (x, y) in pairs, (x, y)  # the winnowing guarantee
+
+    # hot-fp cap: the planted run sits in 4 docs; cap at 3 kills every
+    # pair whose only evidence is the run
+    capped = {(r["id_a"], r["id_b"])
+              for r in substring_dup_pairs(
+                  docs, w=W, s=S, min_shared=1, max_fp_df=3).collect()}
+    run_only = {(x, y) for x in planted for y in planted if x < y} - capped
+    assert run_only, "cap should drop at least one run-only pair"
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, w=0, s=S).collect()
