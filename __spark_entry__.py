@@ -1571,6 +1571,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(emb, threshold=0.45, num_tables=40, hash_bits=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semantic_dedup): cluster-scoped
+    EXHAUSTIVE near-dup pruning — assignment by argmax cosine to the 8
+    lowest-id embeddings (the deterministic assignment-only variant, so
+    DuckDB can replay it), then within-cluster pairs at cos >= 0.45,
+    keep-lowest-id. The oracle recomputes assignment (row_number over
+    cos DESC, index ASC), the within-cluster join, and the min_by
+    survivor pick independently."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, tau=0.45, n_clusters=8)
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components over
     the recall-proof near-dup pair graph (similarity is not transitive,
@@ -1831,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "multimodal_bmp_topk": q_multimodal_bmp_topk,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "embedding_label_centroids": q_embedding_label_centroids,
         "tpch_q1": q_tpch_q1,
@@ -2627,6 +2640,32 @@ d AS (SELECT vec_id, sum(abs(v - qv)) AS l1d FROM u GROUP BY 1)
 SELECT vec_id, round(l1d, 6) AS l1 FROM d ORDER BY round(l1d, 6), vec_id LIMIT 10
 """,
         "multimodal_feature_topk": _multimodal_oracle(),
+        "semantic_dedup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS c, v AS cv
+  FROM e ORDER BY vec_id LIMIT 8
+),
+asg AS (
+  SELECT vec_id, v, c AS cluster FROM (
+    SELECT e.vec_id, e.v, cents.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, cents.cv) DESC, cents.c
+           ) AS rn
+    FROM e CROSS JOIN cents
+  ) t WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+)
+SELECT id_b AS vec_id, cluster, min(id_a) AS dup_of,
+       round(min_by(cos, id_a), 6) AS cos
+FROM pairs GROUP BY 1, 2
+""",
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

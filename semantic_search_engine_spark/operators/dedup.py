@@ -90,6 +90,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = 0.95,
+    centroids=None,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune near-duplicates WITHIN clusters only —
+    the third embedding-dedup shape next to banded LSH
+    (:func:`embedding_neardup_pairs`, probabilistic recall) and
+    CC closure (:func:`connected_components`): cluster scoping makes
+    the pair search EXHAUSTIVE inside each cluster (no LSH miss rate)
+    while never comparing across clusters, the published trade for
+    semantic-level web-corpus pruning.
+
+    Returns one row per DROPPED item: (id, cluster, dup_of, cos) where
+    ``dup_of`` is the LOWEST-id same-cluster neighbor with cosine ≥
+    ``tau`` (keep-lowest-id, the house survivor rule; the paper keeps
+    the item farthest from the centroid — swap the order key for that).
+
+    ``centroids`` is a list/array of ``n_clusters`` vectors; ``None``
+    takes the embeddings of the ``n_clusters`` lowest ids (a
+    deterministic assignment-only variant every engine can replay —
+    pass :func:`similarity.kmeans_fit` output for the paper's trained
+    protocol). Assignment is argmax cosine, ties to the lowest centroid
+    index, computed as pure JVM fold expressions per centroid — right
+    for small K; at production K (∝ corpus size) swap in the IVF
+    assignment kernel, the pair stage is unchanged.
+
+    100-TB shape: assignment is a scan (broadcast centroid literals);
+    the only shuffle is the per-cluster self-join, whose volume is
+    Σ cluster_size² — bounded by keeping K ∝ n as SemDeDup prescribes
+    (the paper runs 50k clusters for LAION-scale)."""
+    from .similarity import cosine_expr
+
+    if centroids is None:
+        rows = (
+            emb.select(id_col, vec_col).orderBy(id_col).limit(int(n_clusters)).collect()
+        )
+        centroids = [list(r[vec_col]) for r in rows]
+    if len(centroids) < 1:
+        raise ValueError("need at least one centroid")
+    cos_cols = [
+        cosine_expr(
+            F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+        )
+        for c in centroids
+    ]
+    arr = F.array(*cos_cols)
+    # array_position = FIRST index of the max → ties break to the
+    # lowest centroid index (matches the oracle's (cos DESC, c ASC))
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("cluster"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= tau)
+    )
+    return (
+        pairs.groupBy("id_b", "cluster")
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.min_by("cos", "id_a").alias("cos"),
+        )
+        .select(
+            F.col("id_b").alias(id_col),
+            "cluster",
+            "dup_of",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame, w: int = 8, s: int = 4,
     id_col: str = "doc_id", text_col: str = "text",

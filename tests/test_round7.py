@@ -1494,3 +1494,66 @@ def test_winnowing_semantics(spark):
 
     with pytest.raises(ValueError):
         winnow_fingerprints(docs, w=0, s=S).collect()
+
+
+# ------------------------------------------------- SemDeDup
+
+def test_semantic_dedup_semantics(spark):
+    """semantic_dedup must equal a brute-force Python reference:
+    assignment = argmax cosine to the centroid list (ties to the lowest
+    index), dropped = any item with a lower-id same-cluster neighbor at
+    cos >= tau, dup_of = the lowest such id; planted near-dups must
+    drop, cross-cluster near-dups must NOT (the SemDeDup scoping
+    trade); custom centroids flow through."""
+    rng = np.random.default_rng(20260822)
+    dim, n = 16, 40
+    vecs = rng.normal(size=(n, dim))
+    # plant exact-direction dups (cos≈1): 25→24, 30→5, 31→5
+    for tgt, src in ((25, 24), (30, 5), (31, 5)):
+        vecs[tgt] = vecs[src] * (1 + 1e-6 * tgt)
+    vecs = vecs.astype(np.float32).astype(np.float64)
+
+    from semantic_search_engine_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    K, TAU = 4, 0.95
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = vecs[:K]
+    assign = [
+        int(np.argmax([cos(vecs[i], c) for c in cents])) for i in range(n)
+    ]
+    want = {}
+    for b in range(n):
+        lowers = [
+            a for a in range(b)
+            if assign[a] == assign[b] and cos(vecs[a], vecs[b]) >= TAU
+        ]
+        if lowers:
+            a = min(lowers)
+            want[b] = (assign[b], a, round(cos(vecs[a], vecs[b]), 6))
+
+    got = {
+        int(r["vec_id"]): (int(r["cluster"]), int(r["dup_of"]), float(r["cos"]))
+        for r in semantic_dedup(emb, tau=TAU, n_clusters=K).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][:2] == want[i][:2], (i, got[i], want[i])
+        assert abs(got[i][2] - want[i][2]) <= 1e-6
+    assert 25 in got and 30 in got and 31 in got  # planted dups dropped
+    assert got[31][1] == 30 or got[31][1] == 5    # lowest same-cluster neighbor
+
+    # custom centroids path: kmeans-trained centroids flow through
+    from semantic_search_engine_spark.operators.similarity import kmeans_fit
+
+    trained = kmeans_fit(vecs.astype(np.float32), k=K, iters=5)
+    res = semantic_dedup(emb, tau=TAU, centroids=[list(map(float, c)) for c in trained])
+    assert res.count() >= 3  # the planted dups survive any clustering
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, tau=TAU, centroids=[])
