@@ -199,3 +199,18 @@ def test_bloom_fold_preserves_dedup(spark, tmp_path):
     assert ded.committed_tags() == ["folded-000002"]
     assert ded.filter_new(generate_webtext(spark, 900)).count() == 0
     ded.release()
+
+
+def test_filter_new_plan_shape(spark, tmp_path):
+    """The fingerprint store must never shuffle: every store access in
+    filter_new is a broadcast semi/anti join (the O(batch)-per-trigger
+    claim); the only shuffles belong to the batch side (keep-first
+    window + union)."""
+    ded = IngestDeduper(str(tmp_path / "d"))
+    ded.commit(generate_webtext(spark, 400), tag="g0")
+    new = ded.filter_new(generate_webtext(spark, 400, start=300))
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert new.count() == 300  # 100 of 400 offered are already ingested
+    ded.release()
