@@ -59,7 +59,18 @@ def _scored(spark: SparkSession, sf_dir: str):
         postings = term_frequencies(docs)
         scored = scored_postings(postings, doc_freq(postings), stats).cache()
         _SCORED_CACHE[key] = (docs, scored)
+        _STATS_CACHE[key] = stats
     return _SCORED_CACHE[key]
+
+
+_STATS_CACHE: dict[str, object] = {}
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str):
+    key = os.path.abspath(sf_dir)
+    if key not in _STATS_CACHE:
+        _scored(spark, sf_dir)
+    return _STATS_CACHE[key]
 
 
 def _rank_window():
@@ -76,6 +87,29 @@ def _rank_window():
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, scored = _scored(spark, sf_dir)
     res = search(scored, BM25_QUERY, BM25_K).withColumnRenamed("docid", "doc_id")
+    return res.select(
+        "doc_id",
+        F.row_number().over(_rank_window()).alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+QLD_MU = 2000.0  # Lucene LMDirichletSimilarity's default μ
+
+
+def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood over the same corpus and
+    query as bm25_topk (operators/topk.py:search_lm_dirichlet — the
+    Lucene LMDirichletSimilarity analog, the per-query similarity
+    switch a Lucene-family user expects). The oracle recomputes cf, T,
+    the smoothed per-term logs, and the L·ln(μ/(dl+μ)) length norm
+    independently with the division in the same literal order."""
+    from semantic_search_engine_spark.operators.topk import search_lm_dirichlet
+
+    docs, scored = _scored(spark, sf_dir)
+    total = _corpus_stats(spark, sf_dir).total_tokens
+    res = search_lm_dirichlet(scored, total, BM25_QUERY, BM25_K, mu=QLD_MU)
+    res = res.withColumnRenamed("docid", "doc_id")
     return res.select(
         "doc_id",
         F.row_number().over(_rank_window()).alias("rank"),
@@ -110,6 +144,33 @@ sc AS (
               * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
   FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
   {not_in}
+  GROUP BY 1
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
+def _qld_oracle(k: int) -> str:
+    # Dirichlet query likelihood, same literal evaluation order as
+    # search_lm_dirichlet: tf / (mu * (cf / T)); T counts zero-token
+    # docs (the corpus_stats convention); L = corpus-present distinct
+    # query terms; only docs matching >= 1 term are ranked.
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+tot AS (SELECT sum(dl)::DOUBLE AS T FROM dl),
+q AS (SELECT unnest([{terms}]) AS term),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf JOIN q USING (term) GROUP BY 1),
+l AS (SELECT count(*)::DOUBLE AS l FROM cf),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + tf.tf / ({QLD_MU} * (cf.cf / t.T))))
+         + max(l.l) * ln({QLD_MU} / (max(dl.dl) + {QLD_MU})) AS score
+  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot t CROSS JOIN l
   GROUP BY 1
 ),
 rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
@@ -1785,6 +1846,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "qld_topk": q_qld_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -1993,6 +2055,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
 """
     return {
         "bm25_topk": _bm25_oracle(BM25_K),
+        "qld_topk": _qld_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_wand_vectorized_topk": _bm25_oracle(BM25_K),
         "bm25_boolean_topk": _bm25_oracle(BM25_K, exclude=BM25_EXCLUDE),

@@ -49,6 +49,60 @@ def search(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
     )
 
 
+def search_lm_dirichlet(
+    postings: DataFrame, total_tokens: int, query: str, k: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty 2004) — the
+    second retrieval scorer next to BM25, the Lucene
+    ``LMDirichletSimilarity`` analog (a user of a Lucene-family engine
+    can switch similarity per query; this is that seam here):
+
+      score(q, d) = Σ_{t ∈ q ∩ d} ln(1 + tf_{t,d} / (μ · (cf_t / T)))
+                    + L · ln(μ / (dl_d + μ))
+
+    with cf_t the collection frequency, T the corpus token total
+    (zero-token docs included, the ``corpus_stats`` convention), and
+    L the number of DISTINCT query terms present in the collection —
+    corpus-absent terms drop from both the sum and L (Lucene's discard
+    rule), and only docs matching ≥1 term are ranked (the BM25 paths'
+    convention). Ties pinned (score desc, docid asc). float64
+    everywhere; the division is evaluated tf / (μ · (cf / T)) so an
+    oracle can replay it literally.
+
+    Plan: same broadcast-query-terms shape as :func:`search`; cf needs
+    one tiny agg over the query terms' postings (≤|q| rows collected —
+    bounded driver state, it also yields L)."""
+    terms = sorted(set(tokenize(query)))
+    spark = postings.sparkSession
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not terms:
+        return empty
+    pq = postings.filter(F.col("term").isin(terms))
+    cf_rows = pq.groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+    L = len(cf_rows)
+    if L == 0:
+        return empty
+    cf = spark.createDataFrame(
+        [(r["term"], int(r["cf"])) for r in cf_rows], "term string, cf long"
+    )
+    per = F.log(
+        F.lit(1.0)
+        + F.col("tf").cast("double")
+        / (F.lit(float(mu)) * (F.col("cf").cast("double") / F.lit(float(total_tokens))))
+    )
+    norm = F.lit(float(L)) * F.log(
+        F.lit(float(mu)) / (F.max("dl").cast("double") + F.lit(float(mu)))
+    )
+    return (
+        pq.join(F.broadcast(cf), "term")
+        .groupBy("docid")
+        .agg((F.sum(per) + norm).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
 def search_conjunctive(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
     """Conjunctive (AND) top-k: only docs containing EVERY distinct
     query term score (intersection semantics). Pinned: a query with any

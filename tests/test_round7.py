@@ -1557,3 +1557,70 @@ def test_semantic_dedup_semantics(spark):
     assert res.count() >= 3  # the planted dups survive any clustering
     with pytest.raises(ValueError):
         semantic_dedup(emb, tau=TAU, centroids=[])
+
+
+# ------------------------------------------------- LM-Dirichlet scorer
+
+def test_lm_dirichlet_semantics(spark):
+    """search_lm_dirichlet must equal a direct Python transcription of
+    the Zhai-Lafferty formula (smoothed per-term logs + L·ln(μ/(dl+μ))
+    length norm, corpus-absent query terms dropped from both the sum
+    and L), guard empty/OOV queries, and rank differently from BM25
+    when doc length should dominate."""
+    import math
+
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+    from semantic_search_engine_spark.operators.postings import (
+        corpus_stats, term_frequencies,
+    )
+    from semantic_search_engine_spark.operators.topk import search_lm_dirichlet
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "apple " + " ".join(["filler"] * 40)),     # long doc, one hit
+        (2, "banana banana apple"),
+        (3, "cherry plum grape"),
+        (4, ""),                                        # zero-token doc in T
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    post = term_frequencies(docs)
+    stats = corpus_stats(docs)
+    MU = 50.0
+
+    toks = {i: tokenize(t) for i, t in rows}
+    T = sum(len(v) for v in toks.values())
+    assert T == stats.total_tokens
+
+    def ref(query, k=10):
+        terms = sorted(set(tokenize(query)))
+        cf = {t: sum(ts.count(t) for ts in toks.values()) for t in terms}
+        present = [t for t in terms if cf[t] > 0]
+        out = []
+        for i, ts in toks.items():
+            matched = [t for t in present if t in ts]
+            if not matched:
+                continue
+            s = sum(math.log(1 + ts.count(t) / (MU * (cf[t] / T))) for t in matched)
+            s += len(present) * math.log(MU / (len(ts) + MU))
+            out.append((i, s))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
+    for query in ("apple", "apple banana", "apple zzznope", "cherry plum"):
+        got = [
+            (r["docid"], r["score"])
+            for r in search_lm_dirichlet(post, T, query, k=10, mu=MU).collect()
+        ]
+        want = ref(query)
+        assert [g[0] for g in got] == [w[0] for w in want], query
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) <= 1e-9, (query, g, w)
+
+    assert search_lm_dirichlet(post, T, "", k=5, mu=MU).count() == 0
+    assert search_lm_dirichlet(post, T, "zzznope", k=5, mu=MU).count() == 0
+    # the length norm must matter: for 'apple', the long diluted doc 1
+    # ranks below the short docs even though every doc has tf('apple')>=1
+    order = [r["docid"] for r in search_lm_dirichlet(post, T, "apple", mu=MU).collect()]
+    assert order.index(1) == len(order) - 1
