@@ -205,6 +205,10 @@ def _cleanup_wand_cache() -> None:
 def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same answer as q_bm25_topk but served from the on-disk index via
     the block-max pruned path — proves codec+build+WAND against DuckDB."""
+    return _serve_wand(spark, _base_index(spark, sf_dir))
+
+
+def _base_index(spark: SparkSession, sf_dir: str) -> str:
     from semantic_search_engine_spark.operators.build import build_index
 
     key = os.path.abspath(sf_dir)
@@ -213,7 +217,30 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("url"), "text")
         build_index(docs, d, num_shards=8)
         _WAND_CACHE[key] = d
-    return _serve_wand(spark, _WAND_CACHE[key])
+    return _WAND_CACHE[key]
+
+
+def q_qld_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query likelihood served FROM the on-disk index
+    (operators/query.py:search_index_qld) — same oracle as qld_topk,
+    so codec + index stats (exact total_tokens) + the two-stage
+    cf→score plan are all hash-checked. The internal fetch pads k by
+    64 before the external (score desc, doc_id asc) re-rank: QLD has
+    no keep_boundary_ties analog, and the pad covers the internal-
+    docid tie-break difference (exact cross-doc float ties would need
+    identical (matched-tf-set, dl), i.e. duplicate docs — absent
+    here)."""
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader, search_index_qld,
+    )
+
+    d = _base_index(spark, sf_dir)
+    res = search_index_qld(
+        IndexReader(spark, d),
+        [{"qid": 0, "query": BM25_QUERY, "k": BM25_K + 64}],
+        mu=QLD_MU,
+    )
+    return _docmap_rerank(spark, d, res)
 
 
 def _serve_wand(spark: SparkSession, d: str, vectorized: bool | None = None) -> DataFrame:
@@ -1847,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "qld_topk": q_qld_topk,
+        "qld_indexed_topk": q_qld_indexed_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -2056,6 +2084,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
     return {
         "bm25_topk": _bm25_oracle(BM25_K),
         "qld_topk": _qld_oracle(BM25_K),
+        "qld_indexed_topk": _qld_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_wand_vectorized_topk": _bm25_oracle(BM25_K),
         "bm25_boolean_topk": _bm25_oracle(BM25_K, exclude=BM25_EXCLUDE),

@@ -205,6 +205,96 @@ def search_index_exhaustive(reader: IndexReader, queries: list[dict]) -> DataFra
     return _topk_window(cand)
 
 
+def search_index_qld(
+    reader: IndexReader, queries: list[dict], mu: float = 2000.0
+) -> DataFrame:
+    """(qid, rank, docid, score) under Dirichlet-smoothed query
+    likelihood (operators/topk.py:search_lm_dirichlet's formula,
+    pinned identically) served FROM THE INDEX — the Lucene
+    per-query similarity switch at the on-disk serving level.
+
+    The index stores tf and dl per posting (not cf), so scoring is two
+    stages over ONE term-filtered scan: the decoded (qid, term, docid,
+    tf, dl) frame is persisted, collection frequencies aggregate from
+    it (≤ Σ|q| rows — exactly the query terms' postings, never the
+    corpus), then per-doc scores sum the smoothed logs plus the
+    L·ln(μ/(dl+μ)) norm. Corpus-absent terms drop from both the sum
+    and L; only docs matching ≥1 term rank; ties (score desc, docid
+    asc). T comes from index stats (finalize's total-token count,
+    zero-token docs included)."""
+    spark = reader.spark
+    plan, terms = _query_plan(queries)
+    idf_map = reader.idf_map(terms)  # existence only — QLD needs no idf
+    if not idf_map:
+        return _empty_result(spark)
+    total_tokens = float(reader.stats["total_tokens"])
+    qrows = [(qid, k, t) for qid, k, ts in plan for t in ts if t in idf_map]
+    qdf = spark.createDataFrame(qrows, "qid int, k int, term string")
+    blocks = reader.postings().filter(F.col("term").isin(list(idf_map))).join(
+        F.broadcast(qdf), "term"
+    )
+
+    def decode_rows(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy()
+            d, tfs, dls, _ = decode_blocks_batch(
+                pdf["first_docid"].to_numpy(), ns,
+                pdf["docids_bin"], pdf["tfs_bin"], pdf["dls_bin"],
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(np.int32), ns),
+                    "k": np.repeat(pdf["k"].to_numpy(np.int32), ns),
+                    "term": np.repeat(pdf["term"].to_numpy(object), ns),
+                    "docid": d,
+                    "tf": tfs,
+                    "dl": dls,
+                }
+            )
+
+    decoded = blocks.mapInPandas(
+        decode_rows, "qid int, k int, term string, docid long, tf long, dl long"
+    ).persist()
+    try:
+        cf_rows = decoded.groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+        cf_map = {r["term"]: float(r["cf"]) for r in cf_rows}
+        l_map = {
+            qid: float(sum(1 for t in ts if t in cf_map))
+            for qid, _, ts in plan
+        }
+        if not cf_map:
+            return _empty_result(spark)
+        cf_df = spark.createDataFrame(
+            [(t, c) for t, c in cf_map.items()], "term string, cf double"
+        )
+        l_df = spark.createDataFrame(
+            [(int(q), l) for q, l in l_map.items()], "qid int, L double"
+        )
+        per = F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double")
+            / (F.lit(float(mu)) * (F.col("cf") / F.lit(total_tokens)))
+        )
+        norm = F.col("L") * F.log(
+            F.lit(float(mu)) / (F.max("dl").cast("double") + F.lit(float(mu)))
+        )
+        cand = (
+            decoded.join(F.broadcast(cf_df), "term")
+            .join(F.broadcast(l_df), "qid")
+            .groupBy("qid", "k", "docid", "L")
+            .agg((F.sum(per) + norm).alias("score"))
+            .select("qid", "k", "docid", "score")
+        )
+        # localCheckpoint cuts the lineage (k rows per query), so the
+        # decoded frame can release before the caller ever collects —
+        # the same iterative-lineage discipline as connected_components
+        return _topk_window(cand).localCheckpoint(eager=True)
+    finally:
+        decoded.unpersist(blocking=False)
+
+
 def _score_candidates(cands: np.ndarray, per_term: dict, idf_map, avgdl) -> np.ndarray:
     """Exact BM25 for candidate docids; per_term[t] = (docids, tfs, dls)
     sorted arrays covering every candidate's potential match. Summation

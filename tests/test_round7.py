@@ -1624,3 +1624,47 @@ def test_lm_dirichlet_semantics(spark):
     # ranks below the short docs even though every doc has tf('apple')>=1
     order = [r["docid"] for r in search_lm_dirichlet(post, T, "apple", mu=MU).collect()]
     assert order.index(1) == len(order) - 1
+
+
+def test_qld_index_equals_text_path(spark, wand_index7):
+    """search_index_qld (index-served) must rank and score identically
+    to search_lm_dirichlet (text-path) for the same corpus, handle
+    multi-query batches with per-query ks, and void OOV queries."""
+    from semantic_search_engine_spark.operators.postings import (
+        corpus_stats, term_frequencies,
+    )
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader, search_index_qld,
+    )
+    from semantic_search_engine_spark.operators.topk import search_lm_dirichlet
+    from semantic_search_engine_spark.sources.index_store import read_docmap
+
+    reader = IndexReader(spark, wand_index7)
+    docs = generate_webtext(spark, 2000).select(
+        F.col("url").alias("docid_url"), "text"
+    )
+    post = term_frequencies(docs.select(F.col("docid_url").alias("docid"), "text"))
+    T = corpus_stats(docs.select(F.col("docid_url").alias("docid"), "text")).total_tokens
+    assert T == int(reader.stats["total_tokens"])  # exact total in stats
+
+    dm = {r["docid"]: r["url"] for r in read_docmap(spark, wand_index7).collect()}
+    batch = [
+        {"qid": 0, "query": "bababa cecece", "k": 10},
+        {"qid": 1, "query": "bakice", "k": 5},
+        {"qid": 2, "query": "zzzznope", "k": 5},   # OOV → absent
+    ]
+    res = search_index_qld(reader, batch, mu=500.0).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append((dm[r["docid"]], r["score"]))
+    assert 2 not in by_q
+    for q in batch[:2]:
+        want = [
+            (r["docid"], r["score"])
+            for r in search_lm_dirichlet(
+                post, T, q["query"], k=q["k"], mu=500.0
+            ).collect()
+        ]
+        got = sorted(by_q[q["qid"]], key=lambda t: (-t[1], t[0]))
+        # same (url, score) multiset; order may differ only on exact ties
+        assert sorted(got) == sorted((u, s) for u, s in want), q["query"]
