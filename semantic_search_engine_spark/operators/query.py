@@ -1449,6 +1449,7 @@ class LocalIndexProbe:
         stats = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
         self.avgdl = float(stats["avgdl"])
         self.n_docs = int(stats["n_docs"])
+        self.total_tokens = int(stats.get("total_tokens", 0))
         self.has_positions = bool(stats.get("has_positions", False))
         self._post = ds.dataset(f"{index_dir}/postings", format="parquet")
         self._dict = ds.dataset(f"{index_dir}/dictionary", format="parquet")
@@ -1575,6 +1576,45 @@ class LocalIndexProbe:
                 if cands.size == 0:
                     return []
         scores = _score_candidates(cands, per_term, idf_map, self.avgdl)
+        if scores.size > k:
+            kth = np.partition(scores, scores.size - k)[scores.size - k]
+            sel = np.flatnonzero(scores >= kth)
+            cands, scores = cands[sel], scores[sel]
+        order = np.lexsort((cands, -scores))[:k]
+        return [(r + 1, int(cands[i]), float(scores[i])) for r, i in enumerate(order)]
+
+    def search_qld(
+        self, query: str, k: int = 10, mu: float = 2000.0
+    ) -> list[tuple[int, int, float]]:
+        """[(rank, docid, score)] under Dirichlet query likelihood —
+        the third serving tier of the similarity switch (text path:
+        ``topk.search_lm_dirichlet``; distributed index:
+        ``search_index_qld``; HERE: driver-local, no Spark job), same
+        pinned formula and tie rule, identical rows to the distributed
+        path (pytest-asserted). cf comes from the probe's own loaded
+        postings (each term's FULL posting list is resident, so the
+        sum is exact); T from the index stats."""
+        terms = sorted(set(tokenize(query)))
+        loaded = self._load_terms(terms)
+        if not loaded:
+            return []
+        T = float(self.total_tokens)
+        L = float(len(loaded))
+        cands = np.unique(np.concatenate([v[1] for v in loaded.values()]))
+        scores = np.zeros(cands.size, dtype=np.float64)
+        dl_arr = np.zeros(cands.size, dtype=np.float64)
+        for t in sorted(loaded):
+            _, d, tf, dl = loaded[t][0], loaded[t][1], loaded[t][2], loaded[t][3]
+            cf = float(tf.sum())
+            pos = np.searchsorted(d, cands)
+            pos_c = np.minimum(pos, d.size - 1)
+            hit = d[pos_c] == cands
+            if hit.any():
+                scores[hit] += np.log(
+                    1.0 + tf[pos_c[hit]].astype(np.float64) / (mu * (cf / T))
+                )
+                dl_arr[hit] = dl[pos_c[hit]].astype(np.float64)
+        scores += L * np.log(mu / (dl_arr + mu))
         if scores.size > k:
             kth = np.partition(scores, scores.size - k)[scores.size - k]
             sel = np.flatnonzero(scores >= kth)

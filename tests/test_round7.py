@@ -1668,3 +1668,30 @@ def test_qld_index_equals_text_path(spark, wand_index7):
         got = sorted(by_q[q["qid"]], key=lambda t: (-t[1], t[0]))
         # same (url, score) multiset; order may differ only on exact ties
         assert sorted(got) == sorted((u, s) for u, s in want), q["query"]
+
+
+def test_probe_qld_equals_distributed(spark, wand_index7):
+    """LocalIndexProbe.search_qld must reproduce search_index_qld's
+    rows (rank, docid; scores to 1e-9 — the summation order of a doc's
+    matched terms differs between the Spark agg and the probe's
+    sorted-term loop) and guard OOV queries."""
+    from semantic_search_engine_spark.operators.query import (
+        IndexReader, LocalIndexProbe, search_index_qld,
+    )
+
+    reader = IndexReader(spark, wand_index7)
+    probe = LocalIndexProbe(wand_index7)
+    assert probe.total_tokens == int(reader.stats["total_tokens"])
+    for query, mu in (("bababa cecece", 500.0), ("bakice", 2000.0)):
+        dist = sorted(
+            ((r["rank"], r["docid"], r["score"])
+             for r in search_index_qld(
+                 reader, [{"qid": 0, "query": query, "k": 10}], mu=mu
+             ).collect()),
+        )
+        loc = probe.search_qld(query, k=10, mu=mu)
+        assert [(r, d) for r, d, _ in dist] == [(r, d) for r, d, _ in loc], query
+        for (_, _, sd), (_, _, sl) in zip(dist, loc):
+            assert abs(sd - sl) <= 1e-9
+    assert probe.search_qld("zzzznope") == []
+    assert probe.search_qld("") == []
