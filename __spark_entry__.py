@@ -178,6 +178,70 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 """
 
 
+RRF_K0 = 60  # the Cormack et al. constant Elasticsearch also defaults to
+
+
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (operators/topk.py:
+    rrf_fuse): the FULL BM25 ranking and the FULL Dirichlet-QL ranking
+    of the same query fuse as Σ 1/(k0+rank) — scores never mix, only
+    ranks, so the two scorers need no calibration. The oracle
+    recomputes both complete rankings AND the fusion in one SQL
+    statement with shared token/tf/dl CTEs."""
+    from semantic_search_engine_spark.operators.topk import (
+        rrf_fuse, search, search_lm_dirichlet,
+    )
+
+    docs, scored = _scored(spark, sf_dir)
+    total = _corpus_stats(spark, sf_dir).total_tokens
+    bm = search(scored, BM25_QUERY, 10**6)
+    ql = search_lm_dirichlet(scored, total, BM25_QUERY, 10**6, mu=QLD_MU)
+    fused = rrf_fuse([bm, ql], k=BM25_K, k0=RRF_K0)
+    return fused.select(
+        F.col("docid").alias("doc_id"),
+        F.round("fused", 6).alias("fused"),
+        "rank",
+    )
+
+
+def _rrf_oracle(k: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+sc_bm AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+tot AS (SELECT sum(dl)::DOUBLE AS T FROM dl),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf JOIN q USING (term) GROUP BY 1),
+l AS (SELECT count(*)::DOUBLE AS l FROM cf),
+sc_ql AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + tf.tf / ({QLD_MU} * (cf.cf / t.T))))
+         + max(l.l) * ln({QLD_MU} / (max(dl.dl) + {QLD_MU})) AS score
+  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot t CROSS JOIN l
+  GROUP BY 1
+),
+u AS (
+  SELECT doc_id, 1.0 / ({RRF_K0} + row_number() OVER (ORDER BY score DESC, doc_id)) AS rr FROM sc_bm
+  UNION ALL
+  SELECT doc_id, 1.0 / ({RRF_K0} + row_number() OVER (ORDER BY score DESC, doc_id)) AS rr FROM sc_ql
+),
+f AS (SELECT doc_id, sum(rr) AS fused FROM u GROUP BY 1),
+rk AS (SELECT doc_id, fused, row_number() OVER (ORDER BY fused DESC, doc_id) AS rank FROM f)
+SELECT doc_id, round(fused, 6) AS fused, rank::INT AS rank FROM rk WHERE rank <= {k}
+"""
+
+
 def _bm25_dedup_oracle(k: int) -> str:
     # the dedup-ingest entry's corpus: first occurrence per exact text,
     # keep-first = lowest doc_id (batches are doc_id-range ordered and
@@ -1875,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "qld_topk": q_qld_topk,
         "qld_indexed_topk": q_qld_indexed_topk,
+        "rrf_hybrid_topk": q_rrf_hybrid_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -2085,6 +2150,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "bm25_topk": _bm25_oracle(BM25_K),
         "qld_topk": _qld_oracle(BM25_K),
         "qld_indexed_topk": _qld_oracle(BM25_K),
+        "rrf_hybrid_topk": _rrf_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_wand_vectorized_topk": _bm25_oracle(BM25_K),
         "bm25_boolean_topk": _bm25_oracle(BM25_K, exclude=BM25_EXCLUDE),

@@ -103,6 +103,61 @@ def search_lm_dirichlet(
     )
 
 
+def rrf_fuse(
+    results: list[DataFrame], k: int = 10, k0: int = 60,
+    id_col: str = "docid",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Büttcher 2009; the hybrid-
+    search combiner Elasticsearch/OpenSearch ship as `rrf`):
+    fused(d) = Σ_lists 1 / (k0 + rank_list(d)), summed over the lists
+    that contain d. Each input is a (id_col, score) frame; ranks are
+    recomputed here under the house tie rule (score desc, id asc) over
+    EXACTLY the rows the caller passed — depth is the caller's dial
+    (pass full rankings for textbook RRF, top-n cuts for the cheap
+    variant). Returns (id_col, fused, rank) top-k, ties
+    (fused desc, id asc).
+
+    Score scales never mix (only ranks enter the sum), which is the
+    point: BM25, query likelihood, and ANN distances fuse without
+    calibration. Plan: one window per input (its own sort), a union,
+    one groupBy — no joins; at 100 TB the inputs are already top-k-ish
+    result sets, so this is driver-scale work expressed distributively."""
+    if not results:
+        raise ValueError("rrf_fuse needs at least one result frame")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    ranked = []
+    for df in results:
+        # pmod(id, 1): non-foldable constant partition — avoids the
+        # single-partition WindowExec warning spam (same trick as the
+        # entry's _rank_window)
+        w = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
+        ranked.append(
+            df.select(F.col(id_col), F.col("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .select(id_col, (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))).alias("rr"))
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    fused = u.groupBy(id_col).agg(F.sum("rr").alias("fused"))
+    return (
+        fused.orderBy(F.desc("fused"), F.asc(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+                    F.desc("fused"), F.asc(id_col)
+                )
+            ),
+        )
+        .select(id_col, "fused", "rank")
+    )
+
+
 def search_conjunctive(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
     """Conjunctive (AND) top-k: only docs containing EVERY distinct
     query term score (intersection semantics). Pinned: a query with any

@@ -1695,3 +1695,48 @@ def test_probe_qld_equals_distributed(spark, wand_index7):
             assert abs(sd - sl) <= 1e-9
     assert probe.search_qld("zzzznope") == []
     assert probe.search_qld("") == []
+
+
+# ------------------------------------------------- reciprocal rank fusion
+
+def test_rrf_fuse_semantics(spark):
+    """rrf_fuse must equal the textbook Σ 1/(k0+rank) with house tie
+    rules, handle items present in only some lists, fuse 3+ lists, obey
+    depth-as-passed, and refuse bad inputs."""
+    from semantic_search_engine_spark.operators.topk import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(rows, "docid long, score double")
+    a = mk([(1, 9.0), (2, 8.0), (3, 7.0), (4, 1.0)])
+    b = mk([(3, 0.9), (2, 0.8), (5, 0.7)])
+    c = mk([(2, 100.0), (9, 50.0)])
+    K0 = 10
+
+    def ref(lists, k0):
+        agg = {}
+        for rows in lists:
+            ranked = sorted(rows, key=lambda t: (-t[1], t[0]))
+            for r, (d, _) in enumerate(ranked, start=1):
+                agg[d] = agg.get(d, 0.0) + 1.0 / (k0 + r)
+        return sorted(agg.items(), key=lambda t: (-t[1], t[0]))
+
+    got = [(r["docid"], r["fused"], r["rank"])
+           for r in rrf_fuse([a, b, c], k=10, k0=K0).collect()]
+    got.sort(key=lambda t: t[2])
+    want = ref([[(1, 9.0), (2, 8.0), (3, 7.0), (4, 1.0)],
+                [(3, 0.9), (2, 0.8), (5, 0.7)],
+                [(2, 100.0), (9, 50.0)]], K0)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) <= 1e-12
+    assert got[0][0] == 2  # rank-1 everywhere in b? no — top fused is doc 2
+    # k cut + single-list degenerate case (pure rank passthrough)
+    one = [(r["docid"], r["rank"]) for r in rrf_fuse([a], k=2, k0=K0).collect()]
+    assert sorted(one, key=lambda t: t[1]) == [(1, 1), (2, 2)]
+    # score ties break by id within a list
+    t = mk([(7, 5.0), (6, 5.0)])
+    rt = {r["docid"]: r["rank"] for r in rrf_fuse([t], k=2, k0=K0).collect()}
+    assert rt == {6: 1, 7: 2}
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=5, k0=0)
