@@ -242,6 +242,67 @@ SELECT doc_id, round(fused, 6) AS fused, rank::INT AS rank FROM rk WHERE rank <=
 """
 
 
+def q_hybrid_text_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE hybrid-search shape: the full BM25 ranking of the text query
+    ⊕ the full brute-cosine ranking of the vector query (embedding of
+    vec_id 0, the ann entries' convention; vec_id ≡ doc_id by the
+    testdata convention), fused with RRF — text relevance and semantic
+    similarity combine with no score calibration. The oracle recomputes
+    the BM25 CTEs, the cosine ranking (CAST AS DOUBLE[]), and the
+    fusion in one statement."""
+    from semantic_search_engine_spark.operators.similarity import cosine_expr
+    from semantic_search_engine_spark.operators.topk import rrf_fuse, search
+
+    docs, scored = _scored(spark, sf_dir)
+    bm = search(scored, BM25_QUERY, 10**6)
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cos = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("docid"),
+        cosine_expr(F.col("embedding"), qlit).alias("score"),
+    )
+    fused = rrf_fuse([bm, cos], k=BM25_K, k0=RRF_K0)
+    return fused.select(
+        F.col("docid").alias("doc_id"),
+        F.round("fused", 6).alias("fused"),
+        "rank",
+    )
+
+
+def _hybrid_oracle(k: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+sc_bm AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+sc_cos AS (
+  SELECT vec_id AS doc_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) AS score
+  FROM embeddings, qe WHERE vec_id <> 0
+),
+u AS (
+  SELECT doc_id, 1.0 / ({RRF_K0} + row_number() OVER (ORDER BY score DESC, doc_id)) AS rr FROM sc_bm
+  UNION ALL
+  SELECT doc_id, 1.0 / ({RRF_K0} + row_number() OVER (ORDER BY score DESC, doc_id)) AS rr FROM sc_cos
+),
+f AS (SELECT doc_id, sum(rr) AS fused FROM u GROUP BY 1),
+rk AS (SELECT doc_id, fused, row_number() OVER (ORDER BY fused DESC, doc_id) AS rank FROM f)
+SELECT doc_id, round(fused, 6) AS fused, rank::INT AS rank FROM rk WHERE rank <= {k}
+"""
+
+
 def _bm25_dedup_oracle(k: int) -> str:
     # the dedup-ingest entry's corpus: first occurrence per exact text,
     # keep-first = lowest doc_id (batches are doc_id-range ordered and
@@ -1940,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": q_qld_topk,
         "qld_indexed_topk": q_qld_indexed_topk,
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
+        "hybrid_text_vector_topk": q_hybrid_text_vector_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -2151,6 +2213,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "qld_topk": _qld_oracle(BM25_K),
         "qld_indexed_topk": _qld_oracle(BM25_K),
         "rrf_hybrid_topk": _rrf_oracle(BM25_K),
+        "hybrid_text_vector_topk": _hybrid_oracle(BM25_K),
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_wand_vectorized_topk": _bm25_oracle(BM25_K),
         "bm25_boolean_topk": _bm25_oracle(BM25_K, exclude=BM25_EXCLUDE),
