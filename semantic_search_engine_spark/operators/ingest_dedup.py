@@ -334,12 +334,17 @@ def dedup_ingest_generation(
     from .build import ingest_generation
 
     ded = deduper or IngestDeduper(os.path.join(index_dir, "dedup"))
-    new = ded.filter_new(docs, id_col=id_col, text_col=text_col)
-    res = None
-    if len(new.take(1)) > 0:
-        res = ingest_generation(
-            new, index_dir, tag=tag, url_col=id_col, text_col=text_col,
-            **ingest_kwargs,
-        )
-    ded.commit(new, tag, id_col=id_col, text_col=text_col)
-    return res
+    try:
+        new = ded.filter_new(docs, id_col=id_col, text_col=text_col)
+        res = None
+        if len(new.take(1)) > 0:
+            res = ingest_generation(
+                new, index_dir, tag=tag, url_col=id_col, text_col=text_col,
+                **ingest_kwargs,
+            )
+        ded.commit(new, tag, id_col=id_col, text_col=text_col)
+        return res
+    finally:
+        # commit releases on success; this covers an ingest crash so a
+        # retrying caller doesn't accumulate persisted probe frames
+        ded.release()
