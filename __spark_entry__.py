@@ -178,6 +178,30 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 """
 
 
+# substitution (hach→hash), deletion (rows→row), insertion
+# (filte→filter), exact (scan, dist 0), no-match guard (qqqqq) —
+# every edit shape crosses the deletion-neighborhood join
+FUZZY_QTERMS = ["hach", "rows", "filte", "scan", "qqqqq"]
+
+
+def q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy term suggestions (operators/fuzzy.py): deletion-
+    neighborhood equi-join candidates verified by real levenshtein,
+    ranked (dist asc, df desc, term asc), top 3 per query term — the
+    Lucene `term~1` serving shape. The oracle is a brute-force
+    full-vocabulary levenshtein scan: the algorithmic path and the
+    oracle share nothing but the edit-distance definition, so a
+    candidate-generation gap (missed or phantom neighbor) hash-fails."""
+    from semantic_search_engine_spark.operators.fuzzy import (
+        fuzzy_term_candidates, rank_fuzzy_candidates,
+    )
+
+    docs, scored = _scored(spark, sf_dir)
+    dictionary = scored.select("term", "df").dropDuplicates(["term"])
+    cands = fuzzy_term_candidates(dictionary, FUZZY_QTERMS)
+    return rank_fuzzy_candidates(cands, n_best=3)
+
+
 RRF_K0 = 60  # the Cormack et al. constant Elasticsearch also defaults to
 
 
@@ -2002,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_indexed_topk": q_qld_indexed_topk,
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
         "hybrid_text_vector_topk": q_hybrid_text_vector_topk,
+        "fuzzy_suggest": q_fuzzy_suggest,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -2214,6 +2239,23 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "qld_indexed_topk": _qld_oracle(BM25_K),
         "rrf_hybrid_topk": _rrf_oracle(BM25_K),
         "hybrid_text_vector_topk": _hybrid_oracle(BM25_K),
+        "fuzzy_suggest": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL.format(col="text")}) AS term FROM documents),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{", ".join(repr(t) for t in FUZZY_QTERMS)}]) AS qterm),
+c AS (
+  SELECT qterm, term, df, levenshtein(qterm, term)::INT AS dist
+  FROM d CROSS JOIN q
+  WHERE levenshtein(qterm, term) <= 1
+),
+rk AS (
+  SELECT qterm, term, df, dist,
+         row_number() OVER (PARTITION BY qterm ORDER BY dist, df DESC, term) AS rank
+  FROM c
+)
+SELECT qterm, rank::INT AS rank, term, df, dist FROM rk WHERE rank <= 3
+""",
         "bm25_wand_topk": _bm25_oracle(BM25_K),
         "bm25_wand_vectorized_topk": _bm25_oracle(BM25_K),
         "bm25_boolean_topk": _bm25_oracle(BM25_K, exclude=BM25_EXCLUDE),

@@ -1740,3 +1740,57 @@ def test_rrf_fuse_semantics(spark):
         rrf_fuse([], k=5)
     with pytest.raises(ValueError):
         rrf_fuse([a], k=5, k0=0)
+
+
+# ------------------------------------------------- SymSpell fuzzy matching
+
+def test_fuzzy_symspell_semantics(spark):
+    """The deletion-neighborhood join must find EXACTLY the vocabulary
+    terms at Levenshtein distance <= 1 (fuzzed vs a brute-force scan
+    over a dense synthetic vocabulary), never a transposition
+    (distance 2), and rank (dist asc, df desc, term asc)."""
+    import itertools
+
+    from semantic_search_engine_spark.operators.fuzzy import (
+        fuzzy_term_candidates, rank_fuzzy_candidates,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    # dense vocabulary: all 2- and 3-letter words over {a,b,c} + a few
+    # longer ones; df = deterministic function of the word
+    vocab = ["".join(w) for n in (2, 3) for w in itertools.product("abc", repeat=n)]
+    vocab += ["abca", "bacb", "cabc", "abcab"]
+    dictionary = spark.createDataFrame(
+        [(w, 10 + (hash_df := sum(map(ord, w)) % 50)) for w in vocab],
+        "term string, df long",
+    )
+    qterms = ["ab", "ba", "abc", "bca", "abcb", "zz", "a"]
+    got = {}
+    for r in fuzzy_term_candidates(dictionary, qterms).collect():
+        got.setdefault(r["qterm"], {})[r["term"]] = r["dist"]
+    for q in qterms:
+        want = {w: lev(q, w) for w in vocab if lev(q, w) <= 1}
+        assert got.get(q, {}) == want, (q, got.get(q), want)
+    # transposition check explicitly: 'ab' vs 'ba' is distance 2
+    assert "ba" not in got["ab"]
+
+    ranked = rank_fuzzy_candidates(fuzzy_term_candidates(dictionary, ["ab"]), 4)
+    rows = sorted(
+        ((r["rank"], r["term"], r["df"], r["dist"]) for r in ranked.collect())
+    )
+    dfs = {w: 10 + sum(map(ord, w)) % 50 for w in vocab}
+    want_order = sorted(
+        ((w, dfs[w], lev("ab", w)) for w in vocab if lev("ab", w) <= 1),
+        key=lambda t: (t[2], -t[1], t[0]),
+    )[:4]
+    assert [(r[1], r[2], r[3]) for r in rows] == want_order
+    # empty query list
+    assert fuzzy_term_candidates(dictionary, []).count() == 0
