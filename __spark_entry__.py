@@ -327,6 +327,91 @@ SELECT doc_id, round(fused, 6) AS fused, rank::INT AS rank FROM rk WHERE rank <=
 """
 
 
+RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA = 10, 10, 0.5
+
+
+def q_bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback end-to-end (operators/topk.py:
+    rm3_expand + search_weighted): BM25 first pass → relevance model
+    from the top-10 docs → α-interpolated expanded weighted query →
+    weighted BM25 second pass. The oracle replays the ENTIRE two-pass
+    pipeline — first-pass ranking, score-normalized relevance model,
+    fb-term truncation + renormalization, interpolation, weighted
+    rescoring — in one SQL statement."""
+    from semantic_search_engine_spark.operators.topk import (
+        rm3_expand, search_weighted,
+    )
+
+    docs, scored = _scored(spark, sf_dir)
+    weights = rm3_expand(
+        scored, BM25_QUERY, fb_docs=RM3_FB_DOCS, fb_terms=RM3_FB_TERMS,
+        alpha=RM3_ALPHA,
+    )
+    res = search_weighted(scored, weights, BM25_K).withColumnRenamed(
+        "docid", "doc_id"
+    )
+    return res.select(
+        "doc_id",
+        F.row_number().over(_rank_window()).alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _rm3_oracle(k: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    nq = len(BM25_TERMS)
+    tok = TOK_SQL.format(col="text")
+    impact = (
+        "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))"
+        " * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{terms}]) AS term),
+sc1 AS (
+  SELECT tf.doc_id, sum({impact}) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+top AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc1
+  ) WHERE r <= {RM3_FB_DOCS}
+),
+tot AS (SELECT sum(score) AS ts FROM top),
+sd AS (SELECT doc_id, score / ts AS s FROM top CROSS JOIN tot),
+rm1 AS (
+  SELECT tf.term, sum((tf.tf::DOUBLE / dl.dl::DOUBLE) * sd.s) AS w
+  FROM tf JOIN sd USING (doc_id) JOIN dl USING (doc_id)
+  GROUP BY 1
+),
+picked AS (
+  SELECT term, w FROM (
+    SELECT term, w, row_number() OVER (ORDER BY w DESC, term) AS r FROM rm1
+  ) WHERE r <= {RM3_FB_TERMS}
+),
+z AS (SELECT sum(w) AS z FROM picked),
+wexp AS (
+  SELECT term, sum(w) AS w FROM (
+    SELECT term, {RM3_ALPHA} / {nq} AS w FROM q
+    UNION ALL
+    SELECT term, (1 - {RM3_ALPHA}) * (picked.w / z.z) AS w FROM picked CROSS JOIN z
+  ) GROUP BY 1
+),
+sc2 AS (
+  SELECT tf.doc_id, sum(wexp.w * ({impact})) AS score
+  FROM tf JOIN wexp USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc2)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
 def _bm25_dedup_oracle(k: int) -> str:
     # the dedup-ingest entry's corpus: first occurrence per exact text,
     # keep-first = lowest doc_id (batches are doc_id-range ordered and
@@ -2027,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
         "hybrid_text_vector_topk": q_hybrid_text_vector_topk,
         "fuzzy_suggest": q_fuzzy_suggest,
+        "bm25_rm3_topk": q_bm25_rm3_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -2238,6 +2324,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "qld_topk": _qld_oracle(BM25_K),
         "qld_indexed_topk": _qld_oracle(BM25_K),
         "rrf_hybrid_topk": _rrf_oracle(BM25_K),
+        "bm25_rm3_topk": _rm3_oracle(BM25_K),
         "hybrid_text_vector_topk": _hybrid_oracle(BM25_K),
         "fuzzy_suggest": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_SQL.format(col="text")}) AS term FROM documents),

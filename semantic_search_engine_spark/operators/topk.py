@@ -158,6 +158,80 @@ def rrf_fuse(
     )
 
 
+def rm3_expand(
+    scored: DataFrame,
+    query: str,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+) -> list[tuple[str, float]]:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance
+    models; the expansion Anserini/Lucene ship as `-rm3`): run the
+    query, build a relevance model from the top ``fb_docs`` documents,
+    and interpolate it with the original query. Pinned algebra:
+
+      s(d)    = score_d / Σ_top scores           (BM25-score weights)
+      RM1(w)  = Σ_{d ∈ top} (tf_{w,d} / dl_d) · s(d)
+      top ``fb_terms`` terms by RM1 (ties: weight desc, term asc),
+      renormalized to sum 1, then
+      P'(w)   = α · P_q(w) + (1−α) · RM1'(w),  P_q uniform over the
+      original distinct terms.
+
+    Returns [(term, weight)] sorted (weight desc, term asc) — feed to
+    :func:`search_weighted` for the second pass. Driver state is the
+    top-doc scores and the candidate term weights of ≤fb_docs docs —
+    bounded, never corpus-sized. An OOV query returns []."""
+    if fb_docs < 1 or fb_terms < 1 or not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"bad RM3 config fb_docs={fb_docs} fb_terms={fb_terms} alpha={alpha}")
+    qterms = sorted(set(tokenize(query)))
+    top = search(scored, query, fb_docs).collect()
+    if not top:
+        return []
+    total = float(sum(r["score"] for r in top))
+    s_by_doc = {int(r["docid"]): float(r["score"]) / total for r in top}
+    rows = (
+        scored.filter(F.col("docid").isin(list(s_by_doc)))
+        .select("term", "docid", "tf", "dl")
+        .collect()
+    )
+    rm1: dict[str, float] = {}
+    for r in sorted(rows, key=lambda r: (r["term"], r["docid"])):  # pinned fold order
+        rm1[r["term"]] = rm1.get(r["term"], 0.0) + (
+            float(r["tf"]) / float(r["dl"])
+        ) * s_by_doc[int(r["docid"])]
+    picked = sorted(rm1.items(), key=lambda t: (-t[1], t[0]))[:fb_terms]
+    z = sum(w for _, w in picked)
+    weights: dict[str, float] = {t: alpha / len(qterms) for t in qterms}
+    for t, w in picked:
+        weights[t] = weights.get(t, 0.0) + (1.0 - alpha) * (w / z)
+    # alpha=1 leaves expansion terms at exactly 0 — drop them (a
+    # 0-weight term scores nothing but would widen the scan filter)
+    return sorted(
+        ((t, w) for t, w in weights.items() if w > 0.0),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
+def search_weighted(
+    scored: DataFrame, weights: list[tuple[str, float]], k: int = 10
+) -> DataFrame:
+    """Weighted disjunctive retrieval: score(d) = Σ_w weight_w ·
+    impact_w(d) — the second pass of RM3 (and any weighted bag-of-
+    words query). Same broadcast-terms plan as :func:`search`, the
+    weight riding the broadcast join."""
+    spark = scored.sparkSession
+    if not weights:
+        return spark.createDataFrame([], "docid long, score double")
+    wdf = spark.createDataFrame(weights, "term string, w double")
+    return (
+        scored.join(F.broadcast(wdf), "term")
+        .groupBy("docid")
+        .agg(F.sum(F.col("w") * F.col("impact")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
 def search_conjunctive(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
     """Conjunctive (AND) top-k: only docs containing EVERY distinct
     query term score (intersection semantics). Pinned: a query with any

@@ -1794,3 +1794,64 @@ def test_fuzzy_symspell_semantics(spark):
     assert [(r[1], r[2], r[3]) for r in rows] == want_order
     # empty query list
     assert fuzzy_term_candidates(dictionary, []).count() == 0
+
+
+# ------------------------------------------------- RM3 feedback
+
+def test_rm3_semantics(spark):
+    """rm3_expand must equal a Python transcription of the pinned
+    algebra (score-normalized relevance model, fb-term truncation +
+    renorm, alpha interpolation), weights must sum to 1, alpha=1 must
+    reduce to the uniform original query, OOV queries void, and
+    search_weighted with a degenerate weight vector must reduce to
+    plain search."""
+    from semantic_search_engine_spark.operators.postings import (
+        corpus_stats, doc_freq, scored_postings, term_frequencies,
+    )
+    from semantic_search_engine_spark.operators.topk import (
+        rm3_expand, search, search_weighted,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple cherry date"),
+            (1, "apple banana banana fig"),
+            (2, "cherry date date fig grape"),
+            (3, "apple grape grape banana"),
+            (4, "kiwi lemon mango"),
+        ],
+        "doc_id long, text string",
+    ).select(F.col("doc_id").alias("docid"), "text")
+    post = term_frequencies(docs)
+    scored = scored_postings(post, doc_freq(post), corpus_stats(docs))
+
+    FB_D, FB_T, A = 3, 4, 0.5
+    got = dict(rm3_expand(scored, "apple banana", FB_D, FB_T, A))
+
+    top = search(scored, "apple banana", FB_D).collect()
+    tot = sum(r["score"] for r in top)
+    s = {int(r["docid"]): r["score"] / tot for r in top}
+    rows = scored.filter(F.col("docid").isin(list(s))).collect()
+    rm1 = {}
+    for r in sorted(rows, key=lambda r: (r["term"], r["docid"])):
+        rm1[r["term"]] = rm1.get(r["term"], 0.0) + (r["tf"] / r["dl"]) * s[int(r["docid"])]
+    picked = sorted(rm1.items(), key=lambda t: (-t[1], t[0]))[:FB_T]
+    z = sum(w for _, w in picked)
+    want = {t: A / 2 for t in ("apple", "banana")}
+    for t, w in picked:
+        want[t] = want.get(t, 0.0) + (1 - A) * (w / z)
+    assert set(got) == set(want)
+    for t in want:
+        assert abs(got[t] - want[t]) <= 1e-12, t
+    assert abs(sum(got.values()) - 1.0) <= 1e-12
+
+    # alpha=1: the original uniform query, nothing else
+    pure = dict(rm3_expand(scored, "apple banana", FB_D, FB_T, alpha=1.0))
+    assert pure == {"apple": 0.5, "banana": 0.5}
+    assert rm3_expand(scored, "zzznope", FB_D, FB_T, A) == []
+    # degenerate weighted search == plain search (weight 1 on one term)
+    a = [(r["docid"], r["score"]) for r in search(scored, "cherry", 5).collect()]
+    b = [(r["docid"], r["score"]) for r in search_weighted(scored, [("cherry", 1.0)], 5).collect()]
+    assert a == b
+    with pytest.raises(ValueError):
+        rm3_expand(scored, "apple", fb_docs=0)
