@@ -412,6 +412,62 @@ SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <=
 """
 
 
+MLT_SRC_DOC, MLT_N_TERMS = 7, 10
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis (operators/topk.py:more_like_this): the
+    source doc's terms ranked by tf·idf, top 10 run as a weighted
+    query, source excluded. The oracle replays term selection and the
+    weighted rescoring in one SQL statement."""
+    from semantic_search_engine_spark.operators.topk import more_like_this
+
+    docs, scored = _scored(spark, sf_dir)
+    n = _corpus_stats(spark, sf_dir).n_docs
+    res = more_like_this(
+        scored, MLT_SRC_DOC, n, n_terms=MLT_N_TERMS, k=BM25_K
+    ).withColumnRenamed("docid", "doc_id")
+    return res.select(
+        "doc_id",
+        F.row_number().over(_rank_window()).alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _mlt_oracle(k: int) -> str:
+    tok = TOK_SQL.format(col="text")
+    impact = (
+        "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))"
+        " * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+src AS (SELECT term, tf FROM tf WHERE doc_id = {MLT_SRC_DOC}),
+w0 AS (
+  SELECT s.term, s.tf * ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) AS w
+  FROM src s JOIN df ON s.term = df.term CROSS JOIN st
+),
+wsel AS (
+  SELECT term, w FROM (
+    SELECT term, w, row_number() OVER (ORDER BY w DESC, term) AS r FROM w0
+  ) WHERE r <= {MLT_N_TERMS}
+),
+sc AS (
+  SELECT tf.doc_id, sum(wsel.w * ({impact})) AS score
+  FROM tf JOIN wsel USING (term) JOIN df ON tf.term = df.term
+       JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.doc_id <> {MLT_SRC_DOC}
+  GROUP BY 1
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
 def _bm25_dedup_oracle(k: int) -> str:
     # the dedup-ingest entry's corpus: first occurrence per exact text,
     # keep-first = lowest doc_id (batches are doc_id-range ordered and
@@ -2113,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_text_vector_topk": q_hybrid_text_vector_topk,
         "fuzzy_suggest": q_fuzzy_suggest,
         "bm25_rm3_topk": q_bm25_rm3_topk,
+        "more_like_this": q_more_like_this,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -2325,6 +2382,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "qld_indexed_topk": _qld_oracle(BM25_K),
         "rrf_hybrid_topk": _rrf_oracle(BM25_K),
         "bm25_rm3_topk": _rm3_oracle(BM25_K),
+        "more_like_this": _mlt_oracle(BM25_K),
         "hybrid_text_vector_topk": _hybrid_oracle(BM25_K),
         "fuzzy_suggest": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_SQL.format(col="text")}) AS term FROM documents),

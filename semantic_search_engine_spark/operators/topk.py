@@ -232,6 +232,52 @@ def search_weighted(
     )
 
 
+def more_like_this(
+    scored: DataFrame,
+    docid: int,
+    n_docs: int,
+    n_terms: int = 10,
+    k: int = 10,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Lucene's MoreLikeThis: find documents similar to a GIVEN one by
+    turning its most characteristic terms into a query. Pinned
+    algebra: rank the source doc's terms by tf · ln(1+(N−df+.5)/(df+.5))
+    (the MLT tf·idf convention with the house idf), drop terms with
+    tf < ``min_tf`` (Lucene's minTermFreq hapax guard), keep the top
+    ``n_terms`` (ties: weight desc, term asc), and run them as a
+    WEIGHTED query (:func:`search_weighted`) with the tf·idf weights;
+    the source document is excluded from the results. ``n_docs`` is
+    the corpus size from ``corpus_stats`` (idf needs N; the scored
+    frame doesn't carry it).
+
+    Driver state: the source doc's term rows only — bounded by one
+    document's vocabulary."""
+    import math
+
+    if n_terms < 1:
+        raise ValueError(f"n_terms must be >= 1, got {n_terms}")
+    rows = (
+        scored.filter(F.col("docid") == int(docid))
+        .select("term", "tf", "df")
+        .collect()
+    )
+    cands = [
+        (
+            r["term"],
+            float(r["tf"])
+            * math.log(1.0 + (float(n_docs) - float(r["df"]) + 0.5) / (float(r["df"]) + 0.5)),
+        )
+        for r in rows
+        if int(r["tf"]) >= min_tf
+    ]
+    if not cands:
+        return scored.sparkSession.createDataFrame([], "docid long, score double")
+    weights = sorted(cands, key=lambda t: (-t[1], t[0]))[:n_terms]
+    res = search_weighted(scored, weights, k + 1)
+    return res.filter(F.col("docid") != int(docid)).limit(k)
+
+
 def search_conjunctive(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
     """Conjunctive (AND) top-k: only docs containing EVERY distinct
     query term score (intersection semantics). Pinned: a query with any

@@ -1855,3 +1855,58 @@ def test_rm3_semantics(spark):
     assert a == b
     with pytest.raises(ValueError):
         rm3_expand(scored, "apple", fb_docs=0)
+
+
+# ------------------------------------------------- MoreLikeThis
+
+def test_more_like_this_semantics(spark):
+    """more_like_this must pick the source doc's top tf·idf terms
+    (min_tf honored), score candidates as the weighted query, exclude
+    the source doc, and void on an unknown source."""
+    import math
+
+    from semantic_search_engine_spark.operators.postings import (
+        corpus_stats, doc_freq, scored_postings, term_frequencies,
+    )
+    from semantic_search_engine_spark.operators.topk import (
+        more_like_this, search_weighted,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple cherry apple"),
+            (1, "apple banana fig fig"),
+            (2, "cherry fig grape banana"),
+            (3, "kiwi lemon mango"),
+        ],
+        "doc_id long, text string",
+    ).select(F.col("doc_id").alias("docid"), "text")
+    post = term_frequencies(docs)
+    stats = corpus_stats(docs)
+    scored = scored_postings(post, doc_freq(post), stats)
+
+    got = [(r["docid"], r["score"])
+           for r in more_like_this(scored, 0, stats.n_docs, n_terms=2, k=5).collect()]
+    assert all(d != 0 for d, _ in got)  # source excluded
+
+    # reference: source doc 0 term weights tf*idf
+    tf0 = {"apple": 3, "banana": 1, "cherry": 1}
+    dfs = {"apple": 2, "banana": 3, "cherry": 2}
+    idf = lambda df_: math.log(1 + (4 - df_ + 0.5) / (df_ + 0.5))
+    w = sorted(((t, tf0[t] * idf(dfs[t])) for t in tf0),
+               key=lambda t: (-t[1], t[0]))[:2]
+    want = [(r["docid"], r["score"])
+            for r in search_weighted(scored, w, 6).collect()
+            if r["docid"] != 0][:5]
+    assert got == want
+    # min_tf drops hapax terms: with min_tf=2 only 'apple' survives
+    one = more_like_this(scored, 0, stats.n_docs, n_terms=5, k=5, min_tf=2)
+    w1 = [("apple", tf0["apple"] * idf(dfs["apple"]))]
+    want1 = [(r["docid"], r["score"])
+             for r in search_weighted(scored, w1, 6).collect()
+             if r["docid"] != 0][:5]
+    assert [(r["docid"], r["score"]) for r in one.collect()] == want1
+    # unknown source -> empty; bad config refuses
+    assert more_like_this(scored, 999, stats.n_docs).count() == 0
+    with pytest.raises(ValueError):
+        more_like_this(scored, 0, stats.n_docs, n_terms=0)
