@@ -202,6 +202,66 @@ def q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_fuzzy_candidates(cands, n_best=3)
 
 
+FUZZY_QUERY = "hach rows filte qqqqq"  # two typos, one deletion, one dropper
+
+
+def q_bm25_fuzzy_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy query serving (Lucene `term~1` composed with
+    BM25): every query term corrects to its best dictionary match via
+    the SymSpell candidates (exact terms map to themselves — dist 0
+    ranks first; no-neighbor terms drop), then the corrected
+    disjunction ranks as plain BM25. The oracle derives the corrected
+    term set AND the ranking in one statement."""
+    from semantic_search_engine_spark.operators.fuzzy import correct_query
+    from semantic_search_engine_spark.operators.topk import search
+
+    docs, scored = _scored(spark, sf_dir)
+    dictionary = scored.select("term", "df").dropDuplicates(["term"])
+    corrected = correct_query(dictionary, FUZZY_QUERY)
+    res = search(scored, " ".join(corrected), BM25_K).withColumnRenamed(
+        "docid", "doc_id"
+    )
+    return res.select(
+        "doc_id",
+        F.row_number().over(_rank_window()).alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _fuzzy_query_oracle(k: int) -> str:
+    from semantic_search_engine_spark.functions.tokenizer import tokenize
+
+    qterms = ", ".join(repr(t) for t in sorted(set(tokenize(FUZZY_QUERY))))
+    tok = TOK_SQL.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({tok})::BIGINT AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw AS (SELECT unnest([{qterms}]) AS qterm),
+cand AS (
+  SELECT qterm, term, df,
+         row_number() OVER (
+           PARTITION BY qterm
+           ORDER BY levenshtein(qterm, term), df DESC, term
+         ) AS r
+  FROM df CROSS JOIN qraw
+  WHERE levenshtein(qterm, term) <= 1
+),
+q AS (SELECT DISTINCT term FROM cand WHERE r = 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score FROM sc)
+SELECT doc_id, rank::INT AS rank, round(score, 6) AS score FROM rk WHERE rank <= {k}
+"""
+
+
 RRF_K0 = 60  # the Cormack et al. constant Elasticsearch also defaults to
 
 
@@ -2170,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest": q_fuzzy_suggest,
         "bm25_rm3_topk": q_bm25_rm3_topk,
         "more_like_this": q_more_like_this,
+        "bm25_fuzzy_query_topk": q_bm25_fuzzy_query_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_vectorized_topk": q_bm25_wand_vectorized_topk,
         "bm25_boolean_topk": q_bm25_boolean_topk,
@@ -2383,6 +2444,7 @@ WHERE ((doc_id * {textstats._HASH_K}) % {textstats._HASH_MOD})::DOUBLE / {float(
         "rrf_hybrid_topk": _rrf_oracle(BM25_K),
         "bm25_rm3_topk": _rm3_oracle(BM25_K),
         "more_like_this": _mlt_oracle(BM25_K),
+        "bm25_fuzzy_query_topk": _fuzzy_query_oracle(BM25_K),
         "hybrid_text_vector_topk": _hybrid_oracle(BM25_K),
         "fuzzy_suggest": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_SQL.format(col="text")}) AS term FROM documents),

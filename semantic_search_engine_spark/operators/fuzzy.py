@@ -71,6 +71,25 @@ def fuzzy_term_candidates(
     )
 
 
+def correct_query(dictionary: DataFrame, query: str) -> list[str]:
+    """Tokenize ``query`` and map every term to its best dictionary
+    match: an in-vocabulary term maps to itself (dist 0 always ranks
+    first), a misspelling to its rank-1 suggestion
+    (dist asc, df desc, term asc), and a term with no distance-≤1
+    neighbor DROPS (the corrected query is disjunctive — the
+    fuzzy-query serving convention, matching the BM25 paths' OOV
+    behavior). Returns sorted distinct corrected terms."""
+    from ..functions.tokenizer import tokenize
+
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        return []
+    best = rank_fuzzy_candidates(
+        fuzzy_term_candidates(dictionary, terms), n_best=1
+    ).collect()
+    return sorted({r["term"] for r in best})
+
+
 def rank_fuzzy_candidates(cands: DataFrame, n_best: int = 3) -> DataFrame:
     """Top ``n_best`` corrections per query term by (dist asc, df desc,
     term asc) — the suggestion list a fuzzy query expands into."""

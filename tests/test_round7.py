@@ -1910,3 +1910,21 @@ def test_more_like_this_semantics(spark):
     assert more_like_this(scored, 999, stats.n_docs).count() == 0
     with pytest.raises(ValueError):
         more_like_this(scored, 0, stats.n_docs, n_terms=0)
+
+
+def test_correct_query_semantics(spark):
+    """correct_query must map exact terms to themselves, typos to the
+    rank-1 suggestion, drop no-neighbor terms, and void empty input."""
+    from semantic_search_engine_spark.operators.fuzzy import correct_query
+
+    dictionary = spark.createDataFrame(
+        [("apple", 50), ("apply", 90), ("banana", 20), ("cherry", 30)],
+        "term string, df long",
+    )
+    # 'appl' is distance 1 from BOTH apple and apply -> higher df wins
+    assert correct_query(dictionary, "appl banana") == ["apply", "banana"]
+    # exact term maps to itself even with a closer-df neighbor
+    assert correct_query(dictionary, "apple") == ["apple"]
+    # no-neighbor terms drop; duplicates collapse
+    assert correct_query(dictionary, "zzzz cherry cherry") == ["cherry"]
+    assert correct_query(dictionary, "") == []
