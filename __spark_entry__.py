@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from semantic_search_engine_spark.functions.localdf import local_df
 from semantic_search_engine_spark.functions.tokenizer import tokens_col
 from semantic_search_engine_spark.operators import dedup, multimodal, similarity, textstats
 from semantic_search_engine_spark.operators.postings import (
@@ -1942,7 +1943,7 @@ def q_ann_ivfpq_local_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = int(emb.count())
     got = probe.search(_query_vec(spark, sf_dir), k=11, n_probe=8, rerank=n)
     rows = [(int(i), float(c)) for i, c in got if i != 0][:10]
-    return spark.createDataFrame(rows, "vec_id long, cos double")
+    return local_df(spark, rows, "vec_id long, cos double")
 
 
 def q_ann_manhattan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,8 @@ log = logging.getLogger(__name__)
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.localdf import local_df
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import idf_col, impact_np
@@ -533,10 +535,28 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         "num_shards": num_shards,
         "has_positions": bool(has_positions),
     }
-    spark.createDataFrame(
-        [(n_docs, float(avgdl), total_tokens, num_shards, bool(has_positions))],
-        "n_docs long, avgdl double, total_tokens long, num_shards int, has_positions boolean",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    # one metadata row — written directly with pyarrow (atomic rename)
+    # instead of a Spark job: a local-relation write costs seconds of
+    # pure overhead per build (see index_store.append_manifest)
+    import pyarrow as pa
+
+    stats_dir = os.path.join(index_dir, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    for old in os.listdir(stats_dir):
+        if old.endswith(".parquet"):
+            os.remove(os.path.join(stats_dir, old))
+    _atomic_write(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "avgdl": pa.array([float(avgdl)], pa.float64()),
+                "total_tokens": pa.array([total_tokens], pa.int64()),
+                "num_shards": pa.array([num_shards], pa.int32()),
+                "has_positions": pa.array([bool(has_positions)], pa.bool_()),
+            }
+        ),
+        os.path.join(stats_dir, "part-0.parquet"),
+    )
     return stats
 
 
@@ -816,8 +836,8 @@ def _merge_tier(
     compact_id = uuid.uuid4().hex[:12]
     stage = os.path.join(index_dir, f"_stage_compact_{compact_id}")
 
-    map_df = spark.createDataFrame(
-        [(o, n) for o, n in old2new.items()], "shard int, new_shard int"
+    map_df = local_df(
+        spark, [(o, n) for o, n in old2new.items()], "shard int, new_shard int"
     )
     segs = index_store.read_segments(spark, index_dir).filter(pred)
     has_positions = "positions_bin" in segs.columns

@@ -23,7 +23,11 @@ exact verification.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+from ..functions.partitioning import spread_small_scan
 
 MINHASH_SEEDS = 8
 BAND_SIZE = 2
@@ -256,13 +260,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{H-1}) — signature j = min over shingles of
     md5('<j>:' || shingle). String-min of hex digests is a valid
-    min-wise hash family sample and is bit-identical across engines."""
-    sh = shingles(docs, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(f"mh_{j}")
+    min-wise hash family sample and is bit-identical across engines.
+
+    ZERO-shuffle plan (changed in the r8 optimization round; values
+    unchanged): a document's signature depends only on its OWN distinct
+    shingles, so the shingle-dedup and the per-seed min both run as
+    in-row array expressions (array_distinct + array_min over a
+    transform) instead of the old explode → distinct → groupBy chain,
+    which paid two full shuffles of every (id, shingle) row for a
+    per-document aggregate. Same md5 bytes, same string-min comparator,
+    same ≥n-token document set."""
+    from ..functions.tokenizer import tokens_col
+
+    toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("ts"))
+    sh_expr = (
+        f"array_distinct(transform(sequence(0, size(ts) - {n}), "
+        f"i -> concat_ws(' ', slice(ts, i + 1, {n}))))"
+    )
+    shs = toks.filter(F.size("ts") >= n).select(F.col(id_col), F.expr(sh_expr).alias("shs"))
+    cols = [
+        F.expr(f"array_min(transform(shs, s -> md5(cast('{j}:' || s AS binary))))").alias(f"mh_{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return shs.select(F.col(id_col), *cols)
 
 
 def minhash_band_pairs(
@@ -270,17 +290,22 @@ def minhash_band_pairs(
     num_hashes: int = MINHASH_SEEDS, band_size: int = BAND_SIZE, n: int = 3,
 ) -> DataFrame:
     """(id_a, id_b) candidate near-dup pairs: any band (concat of
-    band_size signature slots) colliding."""
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
+    band_size signature slots) colliding.
+
+    The banded frame (one row per (doc, band), zero shuffles to build —
+    see :func:`minhash_signatures`) is cached so the self-join's two
+    sides share one tokenize+md5 computation instead of re-deriving the
+    whole signature pipeline per band per side; the only shuffles left
+    are the (band, key) equi-join and the final pair distinct."""
+    sig = minhash_signatures(spread_small_scan(docs), id_col, text_col, num_hashes, n)
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"mh_{b * band_size + i}") for i in range(band_size)]
-        bands.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), F.concat(*cols).alias("key"))
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
+        bands.append((F.lit(b), F.concat(*cols)))
+    band_arr = F.array(*[F.struct(b.alias("band"), k.alias("key")) for b, k in bands])
+    banded = sig.select(
+        F.col(id_col), F.explode(band_arr).alias("bk")
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).cache()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b_ = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     return (
@@ -373,7 +398,7 @@ def embedding_neardup_pairs(
     cached aggregate) to skip that job, or pin ``hash_bits`` explicitly
     to restore the old fixed-width behavior.
     """
-    from .similarity import CosineLSH, cosine_expr
+    from .similarity import CosineLSH, norm_expr
 
     if hash_bits is None:
         hash_bits = auto_hash_bits(emb.count() if n_rows is None else int(n_rows))
@@ -393,20 +418,51 @@ def embedding_neardup_pairs(
         emb, num_tables=num_tables, hash_bits=hash_bits,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
+    # joins in this function auto-broadcast the EMBEDDING-derived side
+    # when the corpus is known to be small (guide §3.1: broadcast the
+    # side that fits — the candidate-pair side is ~pairs_per_row times
+    # bigger by construction, so shuffling IT by id was the dominant
+    # cost: 2 SortMergeJoin exchanges of the pair table measured at
+    # 20k vectors). The threshold is row-based and env-tunable; at
+    # production sizes (or when n_rows is unknown) the plan falls back
+    # to the plain shuffled joins unchanged.
+    n_known = int(n_rows) if n_rows is not None else None
+    bcast_max = int(os.environ.get("SSSE_NEARDUP_BROADCAST_MAX_ROWS", "200000"))
+    maybe_bcast = (
+        (lambda df: F.broadcast(df))
+        if (n_known is not None and n_known <= bcast_max)
+        else (lambda df: df)
+    )
     a = lsh.hashed.select(F.col("vid").alias("id_a"), "table", "bucket")
     b = lsh.hashed.select(F.col("vid").alias("id_b"), "table", "bucket")
     cand = (
-        a.join(b, ["table", "bucket"])
+        a.join(maybe_bcast(b), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # exact verification with the per-ROW work hoisted out of the
+    # per-PAIR expression: each side pre-casts its vector to double and
+    # precomputes its norm once, so a pair costs ONE zip_with/aggregate
+    # fold (the dot product) instead of three (dot + two norms) — the
+    # float64 sequence is unchanged (widening casts and the norm fold
+    # are element-for-element the ones cosine_expr evaluated per pair),
+    # so scores are bit-identical.
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    prep = emb.select(
+        F.col(id_col).alias("_id"), vd.alias("_v"), norm_expr(F.col(vec_col)).alias("_n")
+    )
+    ea = prep.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+    eb = prep.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        cand.join(maybe_bcast(ea), "id_a")
+        .join(maybe_bcast(eb), "id_b")
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.localdf import local_df
+
 # term itself + every single-character deletion, distinct
 _VARIANTS_EXPR = (
     "array_distinct(concat(array(term), "
@@ -58,7 +60,7 @@ def fuzzy_term_candidates(
     qrows = [
         (q, v) for q in sorted(set(query_terms)) for v in _py_variants(q)
     ]
-    qv = dictionary.sparkSession.createDataFrame(qrows, "qterm string, v string")
+    qv = local_df(dictionary.sparkSession, qrows, "qterm string, v string")
     dvars = dictionary.select(
         "term", "df", F.explode(F.expr(_VARIANTS_EXPR)).alias("v")
     )

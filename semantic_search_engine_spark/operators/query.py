@@ -39,6 +39,8 @@ import threading
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.localdf import local_df
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import impact_np
@@ -145,9 +147,7 @@ def search_index_exhaustive(reader: IndexReader, queries: list[dict]) -> DataFra
         for t in xs
         if t in xknown
     ]
-    qdf = spark.createDataFrame(
-        qrows + xrows, "qid int, k int, term string, excl boolean"
-    )
+    qdf = local_df(spark, qrows + xrows, "qid int, k int, term string, excl boolean")
 
     scan_terms = list(idf_map) + sorted(xknown - set(idf_map))
     blocks = reader.postings().filter(F.col("term").isin(scan_terms)).join(
@@ -229,7 +229,7 @@ def search_index_qld(
         return _empty_result(spark)
     total_tokens = float(reader.stats["total_tokens"])
     qrows = [(qid, k, t) for qid, k, ts in plan for t in ts if t in idf_map]
-    qdf = spark.createDataFrame(qrows, "qid int, k int, term string")
+    qdf = local_df(spark, qrows, "qid int, k int, term string")
     blocks = reader.postings().filter(F.col("term").isin(list(idf_map))).join(
         F.broadcast(qdf), "term"
     )
@@ -266,12 +266,8 @@ def search_index_qld(
         }
         if not cf_map:
             return _empty_result(spark)
-        cf_df = spark.createDataFrame(
-            [(t, c) for t, c in cf_map.items()], "term string, cf double"
-        )
-        l_df = spark.createDataFrame(
-            [(int(q), l) for q, l in l_map.items()], "qid int, L double"
-        )
+        cf_df = local_df(spark, [(t, c) for t, c in cf_map.items()], "term string, cf double")
+        l_df = local_df(spark, [(int(q), l) for q, l in l_map.items()], "qid int, L double")
         per = F.log(
             F.lit(1.0)
             + F.col("tf").cast("double")
@@ -464,7 +460,7 @@ def search_index_wand(
         # terms join too (their idf is ignored; only their docids are
         # read in the kernels).
         scan_terms = sorted(set(terms) | set(xterms))
-        terms_df = spark.createDataFrame([(t,) for t in scan_terms], "term string")
+        terms_df = local_df(spark, [(t,) for t in scan_terms], "term string")
         term_idf = reader.dictionary().join(F.broadcast(terms_df), "term").select("term", "idf")
         blocks = reader.postings().join(F.broadcast(term_idf), "term")
     else:
@@ -1219,7 +1215,7 @@ def search_index_phrase(
     if distributed_idf:
         # term filter as a broadcast JOIN instead of a 10⁵+-string isin
         # literal; idf rides the block rows (rebuilt per group below)
-        terms_df = spark.createDataFrame([(t,) for t in used], "term string")
+        terms_df = local_df(spark, [(t,) for t in used], "term string")
         term_idf = reader.dictionary().join(F.broadcast(terms_df), "term").select("term", "idf")
         blocks = base.join(F.broadcast(term_idf), "term")
     else:

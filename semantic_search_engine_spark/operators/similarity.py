@@ -25,6 +25,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.localdf import local_df
+from ..functions.partitioning import spread_small_scan
+
 
 def dot_expr(a, b) -> "F.Column":
     return F.aggregate(
@@ -59,7 +62,7 @@ def l1_topk(
 ) -> DataFrame:
     """Exact Manhattan-nearest top-k (ascending L1, id-asc ties)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = emb.select(
+    out = spread_small_scan(emb).select(
         F.col(id_col), F.round(manhattan_expr(F.col(vec_col), q), 6).alias("l1")
     )
     if exclude_ids:
@@ -73,7 +76,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force exact cosine top-k (TakeOrderedAndProject plan)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = emb.select(
+    out = spread_small_scan(emb).select(
         F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos")
     )
     if exclude_ids:
@@ -279,7 +282,7 @@ class IVFIndex:
         probes = np.argsort(qn @ cn.T, axis=1)[:, -n_probe:]
         pairs = [(int(qi), int(b)) for qi in range(len(queries)) for b in probes[qi]]
         spark = self.assigned.sparkSession
-        probe_df = spark.createDataFrame(pairs, "qid int, bucket int")
+        probe_df = local_df(spark, pairs, "qid int, bucket int")
         cand = self.assigned.join(F.broadcast(probe_df), "bucket")
         id_col, vec_col = self.id_col, self.vec_col
 
@@ -595,7 +598,7 @@ class PQIndex:
                 yield pd.DataFrame({"vid": pdf[id_col].to_numpy(), "codes": list(codes)})
 
         codes = (
-            emb.select(id_col, vec_col)
+            spread_small_scan(emb.select(id_col, vec_col))
             .mapInPandas(encode, "vid long, codes array<int>")
             .withColumnRenamed("vid", id_col)
             .cache()
@@ -655,7 +658,7 @@ class PQIndex:
             sl = sl.orderBy(F.desc("adc"), F.asc(self.id_col)).limit(shortlist)
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
-            emb.join(sl.select(self.id_col), self.id_col)
+            spread_small_scan(emb).join(sl.select(self.id_col), self.id_col)
             .select(self.id_col, F.round(cosine_expr(F.col(self.vec_col), qcol), 6).alias("cos"))
             .orderBy(F.desc("cos"), F.asc(self.id_col))
             .limit(k)
@@ -1056,7 +1059,7 @@ class CosineLSH:
                 yield pd.concat(outs)
 
         hashed = (
-            emb.select(id_col, vec_col)
+            spread_small_scan(emb.select(id_col, vec_col))
             .mapInPandas(hash_rows, "vid long, table int, bucket long")
             .cache()
         )
@@ -1069,7 +1072,7 @@ class CosineLSH:
             bits = (self.planes[t] @ q) > 0
             probes.append((t, int((bits.astype(np.int64) * (1 << np.arange(self.planes.shape[1]))).sum())))
         spark = emb.sparkSession
-        probe_df = spark.createDataFrame(probes, "table int, bucket long")
+        probe_df = local_df(spark, probes, "table int, bucket long")
         cand = self.hashed.join(F.broadcast(probe_df), ["table", "bucket"]).select(
             F.col("vid").alias(self.id_col)
         ).distinct()

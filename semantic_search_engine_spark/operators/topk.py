@@ -18,6 +18,8 @@ reference's heapq.nlargest two-level shape (/root/reference/src/IVF.py:190-191).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from ..functions.localdf import local_df
 from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokenize
@@ -32,7 +34,7 @@ def query_terms_df(spark, queries: list[dict]) -> DataFrame:
     schema = "qid int, k int, term string"
     if not rows:
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def search(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
@@ -83,9 +85,7 @@ def search_lm_dirichlet(
     L = len(cf_rows)
     if L == 0:
         return empty
-    cf = spark.createDataFrame(
-        [(r["term"], int(r["cf"])) for r in cf_rows], "term string, cf long"
-    )
+    cf = local_df(spark, [(r["term"], int(r["cf"])) for r in cf_rows], "term string, cf long")
     per = F.log(
         F.lit(1.0)
         + F.col("tf").cast("double")
@@ -222,7 +222,7 @@ def search_weighted(
     spark = scored.sparkSession
     if not weights:
         return spark.createDataFrame([], "docid long, score double")
-    wdf = spark.createDataFrame(weights, "term string, w double")
+    wdf = local_df(spark, weights, "term string, w double")
     return (
         scored.join(F.broadcast(wdf), "term")
         .groupBy("docid")

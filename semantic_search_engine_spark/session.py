@@ -59,6 +59,11 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.files.maxPartitionBytes": "134217728",
+        # floor scan parallelism at the session parallelism: the test
+        # tables are single ~100MB files (lineitem: 6 row groups) that
+        # otherwise scan as 1-2 tasks on a 32-core box; on real
+        # many-file inputs the floor is already met and this is a no-op
+        "spark.sql.files.minPartitionNum": str(shuffle_partitions),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     }

@@ -204,14 +204,37 @@ def promote_staged(
 
 
 def append_manifest(spark: SparkSession, index_dir: str, rows: list[dict]) -> None:
-    """The commit point: one new parquet file under manifest/."""
+    """The commit point: one new parquet file under manifest/.
+
+    Written directly with pyarrow (tmp + ``os.replace``, unique name):
+    the rows are bounded driver metadata (one per shard in the batch),
+    and a Spark job for them costs ~4 s of pure local-relation overhead
+    per build (measured; OPTIMIZATION_r08.md) while the direct write is
+    atomic at the file level — a killed append can never leave a torn
+    file at a visible name, same guarantee the staged-segment writes
+    already use."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     d = manifest_dir(index_dir)
     os.makedirs(d, exist_ok=True)
-    df = spark.createDataFrame([tuple(r[k] for k in [
+    cols = [
         "shard", "n_docs", "sum_dl", "n_terms", "n_blocks", "n_postings",
         "payload_bytes", "first_docid", "last_docid", "batch_id",
-    ]) for r in rows], schema=MANIFEST_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(d)
+    ]
+    table = pa.table(
+        {c: [r[c] for r in rows] for c in cols},
+        schema=pa.schema(
+            [(c, pa.int32() if c == "shard" else pa.string() if c == "batch_id" else pa.int64())
+             for c in cols]
+        ),
+    )
+    path = os.path.join(d, f"part-{_uuid.uuid4().hex}.parquet")
+    tmp = f"{path}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
 
 def gc_shard_ranges(index_dir: str, ranges: list[tuple[int, int]]) -> int:
@@ -466,8 +489,12 @@ def read_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def read_stats(spark: SparkSession, index_dir: str) -> dict:
-    row = spark.read.parquet(_p(index_dir, "stats")).collect()[0]
-    return row.asDict()
+    # one metadata row — read directly with pyarrow (ignores _SUCCESS
+    # etc. via the default '_'/'.' prefix skip) instead of spending a
+    # Spark job per IndexReader construction
+    import pyarrow.parquet as pq
+
+    return pq.read_table(_p(index_dir, "stats")).to_pylist()[0]
 
 
 def read_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
