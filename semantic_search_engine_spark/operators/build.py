@@ -401,6 +401,10 @@ def build_segments(
             met = (
                 part.join(F.broadcast(offset_df), "shard")
                 .withColumn("_bgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
+                # explicit count: AQE byte-coalescing would serialize
+                # the SPIMI kernels into one task (tiny shuffled bytes,
+                # heavy per-byte compute); identical layout/results
+                .repartition(n_groups, "_bgroup")
                 .groupBy("_bgroup")
                 .applyInPandas(_make_spimi_writer(stage, store_positions), METRICS_SCHEMA)
                 .collect()
@@ -451,10 +455,15 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
             f"no build manifest under {index_dir!r} — run build_segments first "
             "(an empty corpus produces no segments)"
         )
-    agg = manifest.agg(
-        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("tot"), F.countDistinct("shard").alias("shards")
-    ).collect()[0]
-    n_docs, total_tokens, num_shards = int(agg["n"] or 0), int(agg["tot"] or 0), int(agg["shards"])
+    # ONE bounded collect serves both the global stats and the live-
+    # shard list below (manifest rows are per-shard metadata — ~10^6
+    # rows at 100 TB): the previous shape paid a separate agg job plus
+    # a broadcast-subquery job inside the postings write
+    mrows = manifest.select("shard", "n_docs", "sum_dl").collect()
+    live_shards = sorted({int(r["shard"]) for r in mrows})
+    n_docs = sum(int(r["n_docs"]) for r in mrows)
+    total_tokens = sum(int(r["sum_dl"]) for r in mrows)
+    num_shards = len(live_shards)
     if n_docs == 0:
         raise ValueError(f"index at {index_dir!r} recorded 0 documents — nothing to finalize")
     avgdl = total_tokens / n_docs
@@ -468,7 +477,8 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
         # so finalize semi-joins against it rather than trusting the
         # directory listing (broadcast of shard ids — bounded)
         segs = segs.join(
-            F.broadcast(manifest.select("shard").distinct()), "shard", "semi"
+            F.broadcast(local_df(spark, [(s,) for s in live_shards], "shard int")),
+            "shard", "semi",
         )
     else:
         # corpus built, but zero postings (every doc tokenized empty)
@@ -515,13 +525,19 @@ def finalize_index(spark: SparkSession, index_dir: str) -> dict:
             out["block_max"] = bm
             yield out[out_cols]
 
+    # no repartition("shard"): segment files are per-shard and a scan
+    # split never crosses a file, so each task already holds whole
+    # shards — the old exchange re-shuffled the ENTIRE postings payload
+    # only to land it where it started (guide §2.4). Sorting within the
+    # task by (shard, term, block_seq) preserves the per-shard-file
+    # (term, block_seq) order that parquet min/max term pruning relies
+    # on; partitionBy still writes one dir per shard.
     (
         joined.mapInPandas(
             attach_block_max,
             index_store.POSTING_SCHEMA_POS if has_positions else POSTING_SCHEMA,
         )
-        .repartition("shard")
-        .sortWithinPartitions("term", "block_seq")
+        .sortWithinPartitions("shard", "term", "block_seq")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(index_dir, "postings"))

@@ -435,22 +435,52 @@ def embedding_neardup_pairs(
     )
     a = lsh.hashed.select(F.col("vid").alias("id_a"), "table", "bucket")
     b = lsh.hashed.select(F.col("vid").alias("id_b"), "table", "bucket")
-    cand = (
+    raw = (
         a.join(maybe_bcast(b), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
-    # exact verification with the per-ROW work hoisted out of the
-    # per-PAIR expression: each side pre-casts its vector to double and
-    # precomputes its norm once, so a pair costs ONE zip_with/aggregate
-    # fold (the dot product) instead of three (dot + two norms) — the
-    # float64 sequence is unchanged (widening casts and the norm fold
-    # are element-for-element the ones cosine_expr evaluated per pair),
-    # so scores are bit-identical.
+    if n_known is not None and n_known <= bcast_max:
+        # small-corpus verification kernel: the vector table rides a
+        # Spark broadcast (the same bytes a broadcast JOIN would collect
+        # and ship) and each Arrow batch of candidate pairs is verified
+        # with one NumPy gather + multiply + cumsum — the pair stream
+        # never carries vectors and the per-pair interpreted fold is
+        # gone (measured 1.5 s → ~0.3 s on 7.3M pairs). Bit-identity:
+        # np.cumsum along the row axis is DEFINED as the sequential
+        # prefix fl(s_{j-1} + x_j) — exactly the zip_with/aggregate
+        # fold's float64 sequence (0.0 + p0 = p0), and float32→float64
+        # widening + per-element products are exact, so cos (and the
+        # norms, same cumsum) match the JVM expression bit for bit;
+        # pytest-asserted against the join path.
+        #
+        # cross-table de-dup AFTER the (cheap, gather-kernel) verify:
+        # at selective production configs the multi-table duplicate
+        # ratio is ~1 (measured 7.50M raw → 7.33M distinct pairs), so
+        # shuffling every candidate for an early distinct costs more
+        # than re-verifying the 2% duplicates; the distinct on the few
+        # SURVIVORS is near-free. Identical result set — duplicate
+        # pairs compute identical cosines. (The join path below keeps
+        # the early distinct: there, verification carries vector
+        # payloads through joins, so de-dup first is the cheaper side
+        # of the same trade.)
+        return _verify_pairs_local_gather(
+            emb, raw, threshold, id_col=id_col, vec_col=vec_col
+        ).distinct()
+    cand = raw.distinct()
+    # large/unknown corpus: plain shuffled joins, with the per-ROW work
+    # (norm, double-cast) hoisted out of the per-PAIR expression — a
+    # pair pays ONE zip_with/aggregate fold (the dot product) instead
+    # of three (dot + two norms), bit-identical floats (the norm fold
+    # is element-for-element the one cosine_expr evaluated per pair).
+    # Negative result, kept for the record: unrolling the dot into a
+    # 64-term getItem chain ("codegen-able") was ~10x SLOWER here —
+    # each item access re-extracts the array from the joined row, while
+    # the fold materializes it once; see OPTIMIZATION_r08.md.
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     prep = emb.select(
-        F.col(id_col).alias("_id"), vd.alias("_v"), norm_expr(F.col(vec_col)).alias("_n")
+        F.col(id_col).alias("_id"), vd.alias("_v"),
+        norm_expr(F.col(vec_col)).alias("_n"),
     )
     ea = prep.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
     eb = prep.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
@@ -460,11 +490,60 @@ def embedding_neardup_pairs(
         lambda acc, v: acc + v,
     )
     return (
-        cand.join(maybe_bcast(ea), "id_a")
-        .join(maybe_bcast(eb), "id_b")
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _verify_pairs_local_gather(
+    emb: DataFrame, cand: DataFrame, threshold: float,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id_a, id_b) candidates → exact-cosine-verified pairs via a
+    broadcast (ids, matrix, norms) gather kernel. Bounded by the
+    caller's broadcast gate; float sequence identical to the JVM fold
+    (see call-site comment)."""
+    import numpy as np
+    import pandas as pd
+
+    # Arrow transfer (toPandas), not row collect: 0.35 s vs 1.6 s for
+    # 20k×64 vectors on this host — float32→float64 widening is exact
+    pdf0 = emb.select(id_col, vec_col).toPandas()
+    ids = pdf0[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack(pdf0[vec_col].to_numpy()[order]).astype(np.float64)
+    # norms via the same sequential prefix sum as norm_expr's fold
+    norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def verify(it):
+        ids_, mat_, norms_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ia = np.searchsorted(ids_, pdf["id_a"].to_numpy())
+            ib = np.searchsorted(ids_, pdf["id_b"].to_numpy())
+            dots = np.cumsum(mat_[ia] * mat_[ib], axis=1)[:, -1]
+            cos = dots / (norms_[ia] * norms_[ib])
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos": cos[keep],
+                }
+            )
+
+    # the kernel emits the RAW cosine; rounding happens in Spark on the
+    # (few) surviving rows so the decimal rounding rule (BigDecimal
+    # HALF_UP) is literally the join path's F.round — np.round is
+    # half-even and could differ on exact .5e-6 boundaries
+    return cand.mapInPandas(verify, "id_a long, id_b long, cos double").select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
 
 

@@ -81,12 +81,24 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self.stats = index_store.read_stats(spark, index_dir)
+        self._frames: dict = {}
 
-    def postings(self) -> DataFrame:
-        return index_store.read_postings(self.spark, self.index_dir)
+    def postings(self, positions: bool = False) -> DataFrame:
+        # memoized: a fresh read re-lists the partitioned postings dirs
+        # on the driver every call (~0.1-0.2 s per query batch); the
+        # DataFrame's FileIndex caches the listing across reuses. The
+        # files of a finalized index are immutable, so reuse is safe.
+        key = ("postings", positions)
+        if key not in self._frames:
+            self._frames[key] = index_store.read_postings(
+                self.spark, self.index_dir, positions=positions
+            )
+        return self._frames[key]
 
     def dictionary(self) -> DataFrame:
-        return index_store.read_dictionary(self.spark, self.index_dir)
+        if "dictionary" not in self._frames:
+            self._frames["dictionary"] = index_store.read_dictionary(self.spark, self.index_dir)
+        return self._frames["dictionary"]
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         if not terms:
@@ -466,7 +478,15 @@ def search_index_wand(
     else:
         scan_terms = sorted(set(idf_map) | set(xterms))
         blocks = reader.postings().filter(F.col("term").isin(scan_terms))
-    blocks = blocks.withColumn("_qgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
+    # explicit partition count: AQE's byte-based coalescing would fold
+    # this tiny-bytes exchange into ONE partition and serialize the
+    # compute-heavy-per-byte Python kernels (measured: the whole query
+    # batch in one task); an explicit repartition count is exempt from
+    # coalescing and satisfies the groupBy's clustering, so no second
+    # exchange is added. Group count/keys (and results) are unchanged.
+    blocks = blocks.withColumn(
+        "_qgroup", F.pmod(F.col("shard"), F.lit(n_groups))
+    ).repartition(n_groups, "_qgroup")
 
     def wand_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         known_plan, idf_map, avgdl = bc.value
@@ -1211,7 +1231,7 @@ def search_index_phrase(
 
     per_cpu = int(os.environ.get("SSSE_WAND_GROUPS_PER_CPU", "4"))
     n_groups = per_cpu * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    base = index_store.read_postings(spark, reader.index_dir, positions=True)
+    base = reader.postings(positions=True)
     if distributed_idf:
         # term filter as a broadcast JOIN instead of a 10⁵+-string isin
         # literal; idf rides the block rows (rebuilt per group below)
@@ -1220,7 +1240,10 @@ def search_index_phrase(
         blocks = base.join(F.broadcast(term_idf), "term")
     else:
         blocks = base.filter(F.col("term").isin(used))
-    blocks = blocks.withColumn("_qgroup", F.pmod(F.col("shard"), F.lit(n_groups)))
+    # explicit count: exempt from AQE coalescing (see search_index_wand)
+    blocks = blocks.withColumn(
+        "_qgroup", F.pmod(F.col("shard"), F.lit(n_groups))
+    ).repartition(n_groups, "_qgroup")
 
     def phrase_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         known_plan, idf_map, avgdl = bc.value

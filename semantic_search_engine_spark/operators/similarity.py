@@ -63,7 +63,8 @@ def l1_topk(
     """Exact Manhattan-nearest top-k (ascending L1, id-asc ties)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = spread_small_scan(emb).select(
-        F.col(id_col), F.round(manhattan_expr(F.col(vec_col), q), 6).alias("l1")
+        F.col(id_col),
+        F.round(manhattan_expr(F.col(vec_col), q), 6).alias("l1"),
     )
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(exclude_ids))
@@ -77,7 +78,8 @@ def cosine_topk(
     """Brute-force exact cosine top-k (TakeOrderedAndProject plan)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = spread_small_scan(emb).select(
-        F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos")
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos"),
     )
     if exclude_ids:
         out = out.filter(~F.col(id_col).isin(exclude_ids))
