@@ -320,6 +320,109 @@ def _score_candidates(cands: np.ndarray, per_term: dict, idf_map, avgdl) -> np.n
     return total
 
 
+def _vec_prune_blocks(pdf: "pd.DataFrame", known_plan, idf_map, avgdl) -> "pd.DataFrame":
+    """Batch-exact block-max pruning for the vectorized kernel
+    (VERDICT r07 #2): drop block rows no query can need, BEFORE the
+    one-pass batch decode.
+
+    Per query the rule is literally the loop kernel's: seed θ_q from
+    the query's argmax-block_max block (exclusions applied before
+    seeding, candidates scored EXACTLY via the shared decode cache),
+    then keep block i of term t for q iff
+    ``bm[i] + (sig_sum_q − σ_{t,q}) ≥ θ_q`` — evaluated in the same
+    float expression shape as the loop kernel, per query, and OR-folded
+    over the batch, so the kept set is exactly the UNION of the loop
+    kernel's per-query kept sets (plus all exclusion-term blocks, which
+    the scoring kernel needs to zero excluded docs).
+
+    Soundness of the pruned SCORE MATRIX (the subtle half): for any
+    query q, every doc d with full score S(d) ≥ θ_q has, for EVERY
+    query term t with d ∈ postings(t), its t-block B kept for q —
+    because bm_B + (sig_sum_q − σ_t) ≥ imp_t(d) + Σ_{t'≠t} σ_{t'} ≥
+    S(d) ≥ θ_q. So every such doc's matrix score is COMPLETE, the seed
+    set guarantees ≥ k complete docs at θ_q > −inf, and any doc with a
+    (possibly incomplete) matrix score has true S < θ_q ≤ kth-true —
+    strictly below every reported score, ties included. Rows and scores
+    therefore stay bit-identical to the unpruned kernel
+    (pytest-asserted). ``SSSE_WAND_VEC_PRUNE=0`` disables."""
+    terms_arr = pdf["term"].to_numpy()
+    first = pdf["first_docid"].to_numpy()
+    last = pdf["last_docid"].to_numpy()
+    bm = pdf["block_max"].to_numpy()
+    d_bins = pdf["docids_bin"].to_numpy()
+    t_bins = pdf["tfs_bin"].to_numpy()
+    l_bins = pdf["dls_bin"].to_numpy()
+    pos_by_term: dict = {}
+    for t in np.unique(terms_arr):
+        sel = np.flatnonzero(terms_arr == t)
+        pos_by_term[t] = sel[np.argsort(first[sel], kind="stable")]
+
+    decoded: dict = {}
+
+    def dec(i: int):
+        if i not in decoded:
+            decoded[i] = decode_block(int(first[i]), d_bins[i], t_bins[i], l_bins[i])
+        return decoded[i]
+
+    def per_term_for(cands, qterms):
+        out = {}
+        for t in qterms:
+            parts = []
+            for i in pos_by_term.get(t, ()):
+                lo = np.searchsorted(cands, first[i])
+                hi = np.searchsorted(cands, last[i], side="right")
+                if hi > lo:
+                    parts.append(dec(int(i)))
+            out[t] = (
+                tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+                if parts else (np.empty(0, np.int64),) * 3
+            )
+        return out
+
+    def drop_excluded(cands, xs):
+        if not xs or cands.size == 0:
+            return cands
+        xparts = []
+        for t in xs:
+            for i in pos_by_term.get(t, ()):
+                lo = np.searchsorted(cands, first[i])
+                hi = np.searchsorted(cands, last[i], side="right")
+                if hi > lo:
+                    xparts.append(dec(int(i))[0])
+        if not xparts:
+            return cands
+        return cands[~np.isin(cands, np.concatenate(xparts))]
+
+    keep = np.zeros(len(pdf), dtype=bool)
+    xterms_all: set = set()
+    for qid, k, qterms, xs in known_plan:
+        xterms_all.update(xs)
+        q_pos = [p for t in qterms for p in pos_by_term.get(t, ())]
+        if not q_pos:
+            continue
+        q_pos = np.asarray(q_pos, dtype=np.int64)
+        sigma = {t: float(bm[pos_by_term[t]].max()) for t in qterms if t in pos_by_term}
+        sig_sum = float(sum(sigma.values()))
+        seed_i = int(q_pos[bm[q_pos].argmax()])
+        seed_docs = drop_excluded(dec(seed_i)[0], xs)
+        seed_scores = _score_candidates(
+            seed_docs, per_term_for(seed_docs, qterms), idf_map, avgdl
+        )
+        theta = float(np.sort(seed_scores)[-k]) if seed_scores.size >= k else float("-inf")
+        if theta == float("-inf"):
+            keep[q_pos] = True
+            continue
+        bounds = bm[q_pos] + (sig_sum - np.array([sigma[t] for t in terms_arr[q_pos]]))
+        keep[q_pos] |= bounds >= theta
+    # exclusion terms: the kernel zeroes excluded docs' cells, so every
+    # exclusion-term block must be available
+    for t in xterms_all:
+        keep[pos_by_term.get(t, np.empty(0, np.int64))] = True
+    if keep.all():
+        return pdf
+    return pdf[keep].reset_index(drop=True)
+
+
 def search_index_wand(
     reader: IndexReader,
     queries: list[dict],
@@ -646,6 +749,10 @@ def search_index_wand(
         )
         if len(pdf) == 0:
             return empty
+        if os.environ.get("SSSE_WAND_VEC_PRUNE", "1") != "0":
+            pdf = _vec_prune_blocks(pdf, known_plan, idf_map, avgdl)
+            if len(pdf) == 0:
+                return empty
         # blocks sorted by term -> each term's postings are one
         # contiguous slice of the concatenated decode below
         pdf = pdf.sort_values("term", kind="stable", ignore_index=True)

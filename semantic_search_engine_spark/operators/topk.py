@@ -275,7 +275,16 @@ def more_like_this(
         return scored.sparkSession.createDataFrame([], "docid long, score double")
     weights = sorted(cands, key=lambda t: (-t[1], t[0]))[:n_terms]
     res = search_weighted(scored, weights, k + 1)
-    return res.filter(F.col("docid") != int(docid)).limit(k)
+    # re-sort before the final cut: after the filter, a bare limit(k)
+    # takes k rows from a frame whose sort is no longer a plan
+    # guarantee (it happened to hold on single-partition results) — the
+    # explicit orderBy pins the (score desc, docid asc) contract at any
+    # partitioning
+    return (
+        res.filter(F.col("docid") != int(docid))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
 
 
 def search_conjunctive(scored: DataFrame, query: str, k: int = 10) -> DataFrame:
