@@ -58,7 +58,19 @@ def _scored(spark: SparkSession, sf_dir: str):
         docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
         stats = corpus_stats(docs)
         postings = term_frequencies(docs)
-        scored = scored_postings(postings, doc_freq(postings), stats).cache()
+        # cluster the cache by term (explicit partition count — exempt
+        # from AQE coalescing) and sort within partitions so the
+        # in-memory columnar scan's per-batch min/max stats prune the
+        # term-filtered queries to the few batches holding their terms
+        # instead of scanning every cached row; values are unchanged,
+        # only cache layout
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        scored = (
+            scored_postings(postings, doc_freq(postings), stats)
+            .repartition(n_parts, "term")
+            .sortWithinPartitions("term")
+            .cache()
+        )
         _SCORED_CACHE[key] = (docs, scored)
         _STATS_CACHE[key] = stats
     return _SCORED_CACHE[key]

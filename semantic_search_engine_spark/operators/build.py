@@ -55,11 +55,10 @@ log = logging.getLogger(__name__)
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-
-from ..functions.localdf import local_df
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import idf_col, impact_np
+from ..functions.localdf import local_df
 from ..sources import index_store
 from ..sources.index_store import METRICS_SCHEMA, POSTING_SCHEMA, SEGMENT_SCHEMA
 from .codec import decode_blocks_batch, encode_segment_blocks
