@@ -41,6 +41,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Exact row count straight from the parquet footers (pyarrow
+    metadata; no Spark job) — feeds the ANN builds' ``n_rows`` so
+    sizing an index costs zero cluster jobs. Identical to
+    ``_read(...).count()`` by the parquet spec."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(
+        os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+    ).count_rows()
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents")
 
@@ -1914,7 +1926,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF machinery with n_probe == n_clusters — must equal brute force."""
     emb = _read(spark, sf_dir, "embeddings")
-    idx = similarity.IVFIndex.build(emb, n_clusters=8, sample_cap=2000)
+    idx = similarity.IVFIndex.build(
+        emb, n_clusters=8, sample_cap=2000, n_rows=_nrows(sf_dir, "embeddings")
+    )
     return idx.search(_query_vec(spark, sf_dir), k=11, n_probe=8).filter(F.col("vec_id") != 0)
 
 
@@ -1924,7 +1938,10 @@ def q_ann_pq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     like ann_ivf_fullprobe proves the IVF machinery. Pruned shortlists
     are recall-scored in scripts/recall_eval.py."""
     emb = _read(spark, sf_dir, "embeddings")
-    idx = similarity.PQIndex.build(emb, n_segments=8, n_codes=16, sample_cap=2000)
+    idx = similarity.PQIndex.build(
+        emb, n_segments=8, n_codes=16, sample_cap=2000,
+        n_rows=_nrows(sf_dir, "embeddings"),
+    )
     return idx.search(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
 
 
@@ -1933,7 +1950,8 @@ def q_ann_ivfpq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes + exact rerank; full probe + full shortlist ≡ brute force."""
     emb = _read(spark, sf_dir, "embeddings")
     idx = similarity.IVFPQIndex.build(
-        emb, n_clusters=8, n_segments=8, n_codes=16, sample_cap=2000
+        emb, n_clusters=8, n_segments=8, n_codes=16, sample_cap=2000,
+        n_rows=_nrows(sf_dir, "embeddings"),
     )
     return idx.search(emb, _query_vec(spark, sf_dir), k=10, n_probe=8, exclude_ids=[0])
 
@@ -1946,13 +1964,13 @@ def q_ann_ivfpq_local_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving twin's rerank is hash-gated against DuckDB, not only
     pytest-identical to the distributed path."""
     emb = _read(spark, sf_dir, "embeddings")
+    n = _nrows(sf_dir, "embeddings")
     idx = similarity.IVFPQIndex.build(
-        emb, n_clusters=8, n_segments=8, n_codes=16, sample_cap=2000
+        emb, n_clusters=8, n_segments=8, n_codes=16, sample_cap=2000, n_rows=n
     )
     d = tempfile.mkdtemp(prefix="ssse_ivfpq_rr_")
     idx.save(d, emb=emb)
     probe = similarity.LocalIVFPQProbe(d)
-    n = int(emb.count())
     got = probe.search(_query_vec(spark, sf_dir), k=11, n_probe=8, rerank=n)
     rows = [(int(i), float(c)) for i, c in got if i != 0][:10]
     return local_df(spark, rows, "vec_id long, cos double")

@@ -150,6 +150,58 @@ def main() -> None:
     docs_t = e._docs(spark, sf_dir)
     emit("dedup_minhash_sec", secs=timed(lambda: dedup.minhash_band_pairs(docs_t).collect()))
 
+    # ---- probe 5 (r8 leftovers): semantic_dedup norm-hoist A/B + ANN
+    # build sizing (n_rows from parquet footers + Arrow sample collect)
+    def old_semantic_dedup():
+        """The pre-r8 semantic_dedup body — cosine_expr per centroid
+        and per pair, no hoisting (the A side; the B side is the
+        shipped dedup.semantic_dedup)."""
+        rows_ = emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+        cents = [list(r["embedding"]) for r in rows_]
+        cos_cols = [
+            cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+        arr = F.array(*cos_cols)
+        assigned = emb.select(
+            F.col("vec_id"), F.col("embedding"),
+            (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("cluster"),
+        )
+        a_ = assigned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster")
+        b_ = assigned.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cluster")
+        (
+            a_.join(b_, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= 0.45)
+            .groupBy("id_b", "cluster")
+            .agg(F.min("id_a").alias("dup_of"), F.min_by("cos", "id_a").alias("cos"))
+            .select(F.col("id_b").alias("vec_id"), "cluster", "dup_of", F.round("cos", 6).alias("cos"))
+            .collect()
+        )
+
+    emit(
+        "semantic_dedup_ab_sec",
+        unhoisted=timed(old_semantic_dedup),
+        hoisted=timed(lambda: dedup.semantic_dedup(emb, tau=0.45, n_clusters=8).collect()),
+    )
+
+    from semantic_search_engine_spark.operators.similarity import PQIndex
+
+    def pq_build(n_rows=None):
+        idx_ = PQIndex.build(emb, n_segments=8, n_codes=16, sample_cap=2000, n_rows=n_rows)
+        idx_.codes.unpersist()
+
+    emit(
+        "pq_build_sizing_sec",
+        counted=timed(lambda: pq_build()),
+        footer_n_rows=timed(lambda: pq_build(e._nrows(sf_dir, "embeddings"))),
+    )
+    emit(
+        "ann_pq_entry_e2e_sec",
+        secs=timed(lambda: e.q_ann_pq_fullprobe(spark, sf_dir).collect()),
+    )
+
 
 if __name__ == "__main__":
     main()

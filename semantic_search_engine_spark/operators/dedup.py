@@ -129,7 +129,9 @@ def semantic_dedup(
     the only shuffle is the per-cluster self-join, whose volume is
     Σ cluster_size² — bounded by keeping K ∝ n as SemDeDup prescribes
     (the paper runs 50k clusters for LAION-scale)."""
-    from .similarity import cosine_expr
+    import math
+
+    from .similarity import dot_expr, norm_expr
 
     if centroids is None:
         rows = (
@@ -138,30 +140,70 @@ def semantic_dedup(
         centroids = [list(r[vec_col]) for r in rows]
     if len(centroids) < 1:
         raise ValueError("need at least one centroid")
+
+    # r8 norm-hoist (the embedding_neardup_pairs rewrite, same
+    # bit-identity argument): per-ROW work — the double-cast view and
+    # the row norm — is computed ONCE per row instead of inside every
+    # per-centroid / per-pair cosine, and each CENTROID norm is folded
+    # on the driver with the literal sequence norm_expr would run
+    # (acc = acc + x·x in element order, then sqrt; IEEE-754 binary64
+    # with correctly-rounded +,*,sqrt on both sides), so every cosine
+    # below is the same float the unhoisted cosine_expr produced.
+    # Assignment drops from 3·K folds per row to K dots + 1 norm;
+    # a candidate pair pays ONE dot fold instead of dot + two norms.
+    def _fold_norm(c) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    emb = spread_small_scan(emb)
+    prep = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vd"),
+        norm_expr(F.col(vec_col)).alias("_n"),
+    )
     cos_cols = [
-        cosine_expr(
-            F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+        F.aggregate(
+            F.zip_with(
+                F.col("_vd"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
+        / (F.col("_n") * F.lit(_fold_norm(c)))
         for c in centroids
     ]
     arr = F.array(*cos_cols)
     # array_position = FIRST index of the max → ties break to the
     # lowest centroid index (matches the oracle's (cos DESC, c ASC))
-    assigned = emb.select(
+    assigned = prep.select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("_n"),
         (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("cluster"),
     )
+    # the pair shuffle still carries the FLOAT vectors (not the double
+    # view — that would double the exchange bytes); the hoisted norm
+    # adds 8 bytes/row and removes two of the three per-pair folds
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"), "cluster",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"), "cluster",
     )
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cos") >= tau)
     )
     return (
