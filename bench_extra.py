@@ -201,6 +201,14 @@ def main() -> None:
         "ann_pq_entry_e2e_sec",
         secs=timed(lambda: e.q_ann_pq_fullprobe(spark, sf_dir).collect()),
     )
+    # probe-vector fetch: one-row cluster job vs pyarrow footer predicate
+    emit(
+        "query_vec_ab_sec",
+        spark_filter_first=timed(
+            lambda: [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+        ),
+        pyarrow_footer=timed(lambda: e._query_vec(spark, sf_dir)),
+    )
 
 
 if __name__ == "__main__":
